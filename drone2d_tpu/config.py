@@ -1,0 +1,192 @@
+"""Configuration for the environment, learner, and runtime.
+
+Mirrors every knob of the reference's plain-dict config
+(`drone_2d_custom_gym_env/rl_config.py:5-44`) as typed, hashable dataclasses
+so they can be closed over by `jax.jit` as static configuration.  Defaults are
+the reference's committed values.
+
+The reference also carries four render-related host-side flags
+(render_sim/render_path/render_shade/render_text); those never touch the
+device path here — rendering is a host-side replay of logged trajectories
+(`drone2d_tpu.eval.render`) — but the flags are preserved for API parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+# Scenario name registry (reference `rl_config.py:45-58`).
+TEST_SCENARIOS: Tuple[str, ...] = (
+    "perpendicular",
+    "parallel",
+    "S_parallel",
+    "corridor",
+    "S_corridor",
+    "large",
+    "impossible",
+)
+STAGE_SCENARIOS: Tuple[str, ...] = (
+    "stage_1",
+    "stage_2",
+    "stage_3",
+    "stage_4",
+    "stage_5",
+)
+ALL_SCENARIOS: Tuple[str, ...] = TEST_SCENARIOS + STAGE_SCENARIOS
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """All environment knobs.
+
+    Field-by-field source: reference `rl_config.py:10-44` (env_train_config)
+    and `drone_2d_env.py:33-67` (kwargs unpacking).
+    """
+
+    # --- host-side render flags (API parity; device path ignores them) ---
+    render_sim: bool = False
+    render_path: bool = False
+    render_shade: bool = False
+    render_text: bool = False
+    shade_distance: float = 75.0
+
+    # --- episode / physics ---
+    n_steps: int = 1100            # max episode steps (rl_config.py:16)
+    n_fall_steps: int = 5          # settle steps for optional initial motion
+    change_target: bool = False    # mouse retarget (host debug mode only)
+    initial_throw: bool = True     # kwarg parity; see initial_motion_enabled
+    # The reference defines initial_movement() but never calls it
+    # (drone_2d_env.py:917-946), so throw/settle are inert there.  This master
+    # gate keeps our default behavior identical; set True to actually enable.
+    initial_motion_enabled: bool = False
+
+    # --- path generation ---
+    random_path_spawn: bool = True
+    path_segment_length: float = 100.0
+    n_wps: int = 12
+    screensize_x: float = 1300.0
+    screensize_y: float = 1300.0
+    lookahead: float = 220.0
+    spawn_corners: Tuple[int, int] = (1, 4)  # (DL, DR, UL, UR) index range
+
+    # --- reward shaping ---
+    danger_range: float = 150.0
+    danger_angle: float = 20.0            # degrees
+    abs_inv_CA_min_rew: float = 1.0 / 8.0
+    PA_band_edge: float = 40.0
+    PA_scale: float = 2.0
+    PP_vel_scale: float = 0.08
+    PP_rew_max: float = 2.5
+    PP_rew_min: float = -1.0
+    rew_collision: float = -50.0
+    reach_end_radius: float = 20.0
+    rew_reach_end: float = 30.0
+    AA_angle: float = math.pi / 2
+    AA_band: float = math.pi / 4
+    rew_AA: float = -1.0
+    use_Lambda: bool = True
+
+    # --- mode / scenario ---
+    mode: str = "curriculum"       # 'curriculum' or 'test'
+    scenario: str = "large"        # one of ALL_SCENARIOS, or 'None'
+
+    # --- framework capacity knobs (fixed shapes; not in the reference) ---
+    max_wps: int = 16              # ≥ any scenario's waypoint count (large: 14)
+    max_obs: int = 64              # ≥ any scenario's obstacle count (S_corridor: 58)
+    max_curriculum_obs: int = 18   # cap for stage-5 n~N(1,4) draw (≈+4σ)
+    path_table_n: int = 512        # dense closest-point table resolution
+    golden_iters: int = 24         # fixed golden-section refine iterations
+    obstacle_attempts: int = 8     # rejection-sampling attempts per obstacle
+
+    # --- physics constants (reference hard-codes; drone_2d_env.py / Drone.py) ---
+    gravity_y: float = -1000.0     # drone_2d_env.py:185
+    physics_dt: float = 1.0 / 60.0 # drone_2d_env.py:406
+    force_scale: float = 1000.0    # drone_2d_env.py:150
+    drone_height: float = 20.0     # Drone(x, y, angle, 20, 100, ...) ctor args
+    drone_width: float = 100.0
+    mass_frame: float = 0.2
+    mass_motor: float = 0.4
+    vel_norm: float = 1330.0       # drone_2d_env.py:635 velocity normalizer
+    omega_norm: float = 11.7       # drone_2d_env.py:640
+    k_obs: int = 3                 # drone_2d_env.py:67 observed obstacle count
+    closest_u_margin: float = 10.0 # predef_path.py:243-244 search margin
+
+    # derived geometry -----------------------------------------------------
+    @property
+    def drone_radius(self) -> float:
+        """Motor-arm half-span: width/2 - height/2 = 40 (Drone.py:11)."""
+        return self.drone_width / 2 - self.drone_height / 2
+
+    @property
+    def total_mass(self) -> float:
+        return self.mass_frame + 2 * self.mass_motor
+
+    @property
+    def moment_of_inertia(self) -> float:
+        """Composite moment of the rigid 3-box multibody about its COM.
+
+        The reference ties frame + two motor boxes with six zero-error-bias
+        pivot joints (Drone.py:60-95) — rigid in the limit — so the multibody
+        collapses to one rigid body.  Box moment about own COM is
+        m*(w^2+h^2)/12 (pymunk.moment_for_poly for create_box); motors get a
+        parallel-axis term m*d^2 at d = drone_radius.
+        """
+        w, h = self.drone_width, self.drone_height
+        i_frame = self.mass_frame * (w * w + (h / 2) * (h / 2)) / 12.0
+        i_motor_own = self.mass_motor * (h * h + h * h) / 12.0
+        i_motor = i_motor_own + self.mass_motor * self.drone_radius**2
+        return i_frame + 2 * i_motor
+
+    @property
+    def screen_diag(self) -> float:
+        return math.hypot(self.screensize_x, self.screensize_y)
+
+    def replace(self, **kw) -> "EnvConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """PPO hyperparameters.
+
+    Defaults mirror SB3 `PPO("MlpPolicy", ...)` as invoked by the reference
+    (`main.py:200`): all SB3 defaults except ent_coef=0.01
+    (`rl_config.py:7`).  n_steps here is the per-env rollout horizon; with
+    thousands of on-chip envs the SB3 default of 2048 would be wasteful, so
+    the batched default is 128 (SB3 parity mode can set 2048).
+    """
+
+    learning_rate: float = 3e-4
+    n_steps: int = 128
+    num_minibatches: int = 8
+    n_epochs: int = 10
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_range: float = 0.2
+    ent_coef: float = 0.01
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    # policy net: SB3 MlpPolicy default = separate pi/vf MLPs, 2x64 tanh,
+    # orthogonal init, state-independent log_std initialized to 0.
+    hidden_sizes: Tuple[int, ...] = (64, 64)
+
+    def replace(self, **kw) -> "PPOConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-run configuration (reference `rl_config.py:5-8` + main.py)."""
+
+    total_timesteps: int = 9_000_000   # rl_config.py:6
+    num_envs: int = 4096
+    seed: int = 0
+    checkpoint_every_steps: int = 100_000  # main.py:161 save_freq semantics
+    log_every_updates: int = 1
+    checkpoint_dir: str = "logs"
+    metrics_path: str = "logs/metrics.jsonl"
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
