@@ -1,0 +1,67 @@
+"""Environment pytrees (fixed shapes; vmap adds the env batch dimension)."""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax.numpy as jnp
+
+from drone2d_tpu.ops.path import PathData
+from drone2d_tpu.ops.physics import BodyState
+
+
+class ObstacleSet(NamedTuple):
+    """Padded circle-obstacle field (reference obstacles.py Circle only —
+    Square/Rectangle exist there but are never used by live code)."""
+
+    xy: jnp.ndarray    # (MAX_OBS, 2) centers; padding pushed far away
+    r: jnp.ndarray     # (MAX_OBS,) radii
+    mask: jnp.ndarray  # (MAX_OBS,) bool, True = live obstacle
+
+
+class EnvState(NamedTuple):
+    """Full per-env episode state.
+
+    The reference rebuilds the whole pymunk world each reset
+    (drone_2d_env.py:908-912 reset -> __init__); here the world IS this
+    pytree, and reset is a pure function producing a fresh one.
+    """
+
+    path: PathData
+    obstacles: ObstacleSet
+    body: BodyState
+    target: jnp.ndarray        # (2,) last waypoint (drone_2d_env.py:316-317)
+    t: jnp.ndarray             # () int32 current_time_step
+    path_error: jnp.ndarray    # () running sum of dist-from-path (for APE)
+    total_reward: jnp.ndarray  # () episode return
+    la_locked: jnp.ndarray     # () bool LA_in_last_wp (drone_2d_env.py:112,739-744)
+    left_force: jnp.ndarray    # () last applied rotor forces (render parity,
+    right_force: jnp.ndarray   # drone_2d_env.py:140-141)
+
+
+class StepOutput(NamedTuple):
+    state: EnvState
+    obs: jnp.ndarray           # (27,)
+    reward: jnp.ndarray        # ()
+    done: jnp.ndarray          # () bool
+    info: Dict[str, jnp.ndarray]
+
+
+# Names (and semantics) of the info-dict metric bus, mirroring
+# drone_2d_env.py:114-137, 575-613.
+INFO_FIELDS = (
+    "reward",
+    "collision_avoidance_reward",
+    "path_adherence",
+    "path_progression",
+    "collision_reward",
+    "reach_end_reward",
+    "agressive_alpha_reward",
+    "dist_closest_obs",
+    "env_steps",
+    "APE",
+    "n_collisions",
+    "n_successful_runs",
+    "n_failed_runs",
+    "total_reward",
+)

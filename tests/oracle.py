@@ -108,3 +108,55 @@ def oracle_body_step(pos, vel, angle, omega, fl, fr, *, dt=1 / 60, g=-1000.0,
     vel = np.asarray(vel, np.float64) + (np.array([0.0, g]) + fw / mass) * dt
     omega = omega + arm * (fr - fl) / inertia * dt
     return pos, vel, new_angle, omega
+
+
+def oracle_reward(obs, has_obs, collided, t_new, *, W=1300.0, H=1300.0,
+                  n_steps=1100, danger_range=150.0, danger_angle=20.0,
+                  inv_c=1 / 8, PA_band=40.0, PA_scale=2.0, PP_vel_scale=0.08,
+                  PP_max=2.5, PP_min=-1.0, rew_collision=-50.0,
+                  reach_r=20.0, rew_reach=30.0, AA_angle=np.pi / 2,
+                  AA_band=np.pi / 4, rew_AA=-1.0, use_lambda=True):
+    """Float64 reward oracle, straight from the published reward equations
+    (reference drone_2d_env.py:422-572), independent of the JAX code."""
+    obs = np.asarray(obs, np.float64)
+    inv = lambda v, lo, hi: (v + 1) * (hi - lo) / 2 + lo
+    diag = np.hypot(W, H)
+    vel = np.hypot(inv(obs[0], -1330, 1330), inv(obs[1], -1330, 1330))
+    alpha = obs[3] * np.pi
+    tdx, tdy = inv(obs[4], 0, W), inv(obs[5], 0, H)
+    pos = np.array([inv(obs[6], 0, W), inv(obs[7], 0, H)])
+    vel_angle = (np.arctan2(obs[17] * np.pi, obs[18] * np.pi) + 2 * np.pi) % (2 * np.pi)
+    cp = np.array([inv(obs[19], 0, W), inv(obs[20], 0, H)])
+    la_angle = (np.arctan2(obs[23], obs[24]) + 2 * np.pi) % (2 * np.pi)
+
+    lam_pa, lam_ca, ca = 1.0, 1.0, 0.0
+    if has_obs:
+        d = inv(obs[8], 0, diag)
+        oa = (np.arctan2(obs[9], obs[10]) + 2 * np.pi) % (2 * np.pi)
+        adiff = abs(np.rad2deg((oa - vel_angle + np.pi) % (2 * np.pi) - np.pi))
+        if d < danger_range and use_lambda:
+            lam_pa = max((d / danger_range) / 2, 0.10)
+            lam_ca = 1 - lam_pa
+        if d < danger_range:
+            rr = -(((danger_range + inv_c * danger_range) / (d + inv_c * danger_range)) - 1)
+            ar = -(((danger_angle + inv_c * danger_angle) / (adiff + inv_c * danger_angle)) - 1)
+            ca = min(rr, 0.0) + min(ar, 0.0)
+
+    dfp = np.linalg.norm(cp - pos)
+    pa = -(2 * np.clip(dfp, 0, PA_band) / PA_band - 1) * PA_scale
+    vld = abs((la_angle - vel_angle + np.pi) % (2 * np.pi) - np.pi)
+    pp = np.clip(np.cos(vld) * vel * PP_vel_scale, PP_min, PP_max)
+    coll = rew_collision if collided else 0.0
+    end2 = abs(tdx) < reach_r and abs(tdy) < reach_r
+    reach = rew_reach if end2 else 0.0
+    aa = 0.0
+    if alpha > AA_band:
+        aa = -np.sin(alpha)
+    if alpha < -AA_band:
+        aa = np.sin(alpha)
+    end5 = abs(alpha) >= AA_angle
+    if end5:
+        aa = rew_AA
+    total = aa + pa * lam_pa + pp + coll + ca * lam_ca + reach
+    done = collided or end2 or (t_new == n_steps) or end5
+    return total, done

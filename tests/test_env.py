@@ -1,0 +1,218 @@
+"""Environment semantics tests: reset/step, rewards, terminations, curriculum."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from drone2d_tpu.config import EnvConfig
+from drone2d_tpu.env.env import Drone2DEnv, OBS_DIM, _rewards_and_done
+from drone2d_tpu.env import scenarios
+from drone2d_tpu.ops import physics
+from tests.oracle import oracle_reward
+
+CURR_CFG = EnvConfig(mode="curriculum", scenario="None")
+STAGE1_CFG = EnvConfig(mode="curriculum", scenario="stage_1")
+
+
+def test_reset_shapes_and_ranges():
+    env = Drone2DEnv(STAGE1_CFG)
+    state, obs = env.reset(jax.random.key(0))
+    assert obs.shape == (OBS_DIM,)
+    assert obs.dtype == jnp.float32
+    # no obstacles in stage 1 -> default obstacle slots
+    np.testing.assert_allclose(np.asarray(obs[8:17]), [1, 0, 0, 1, 0, 0, 1, 0, 0])
+    assert int(jnp.sum(state.obstacles.mask)) == 0
+    # spawned at path start
+    np.testing.assert_allclose(np.asarray(state.body.pos), np.asarray(state.path.wps[0]), atol=1e-4)
+    assert abs(float(state.body.angle)) <= np.pi / 4
+
+
+def test_hover_on_path_reward():
+    """Stage 1, drone at path start, exact hover thrust: PA=+2 (on path),
+    PP~0 (no velocity), CA=0 (no obstacles)."""
+    env = Drone2DEnv(STAGE1_CFG)
+    state, _ = env.reset(jax.random.key(1))
+    # hover: (a/2+0.5)*1000 = 500 per rotor = mg/2
+    out = env.step(state, jnp.array([0.0, 0.0]))
+    assert not bool(out.done)
+    assert float(out.info["path_adherence"]) == pytest.approx(2.0, abs=0.05)
+    # spawn angle is random in +-pi/4, so one thrust step develops a small
+    # lateral velocity; PP is bounded by 0.08 * |v| with |v| <= ~2*sin(pi/8)*1000/60
+    assert abs(float(out.info["path_progression"])) <= 0.08 * 13.0
+    assert float(out.info["collision_avoidance_reward"]) == 0.0
+    assert float(out.reward) == pytest.approx(
+        float(out.info["path_adherence"])
+        + float(out.info["path_progression"])
+        + float(out.info["agressive_alpha_reward"]),
+        abs=1e-5,
+    )
+
+
+def test_reward_matches_oracle_on_random_obs():
+    """The reward assembly reproduces the reference equations bit-for-bit
+    (float32 vs float64 tolerance) for random observation vectors."""
+    cfg = EnvConfig()
+    rng = np.random.default_rng(5)
+    for i in range(200):
+        obs = rng.uniform(-1, 1, OBS_DIM).astype(np.float32)
+        has_obs = bool(i % 3)
+        collided = i % 7 == 0
+        t_new = 1100 if i % 11 == 0 else rng.integers(1, 1099)
+        r = _rewards_and_done(
+            cfg, jnp.asarray(obs), jnp.asarray(has_obs), jnp.asarray(collided),
+            jnp.asarray(t_new, jnp.int32),
+        )
+        want, want_done = oracle_reward(obs, has_obs, collided, t_new)
+        assert float(r["reward"]) == pytest.approx(want, abs=5e-3), (i, obs)
+        assert bool(r["done"]) == want_done
+
+
+def test_collision_terminates():
+    env = Drone2DEnv(EnvConfig(mode="test", scenario="large"))
+    state, _ = env.reset(jax.random.key(2))
+    # teleport into the central obstacle (center 650,650 r=260)
+    body = state.body._replace(pos=jnp.array([650.0, 650.0]), vel=jnp.zeros(2))
+    out = env.step(state._replace(body=body), jnp.array([0.0, 0.0]))
+    assert bool(out.done)
+    assert float(out.info["collision_reward"]) == -50.0
+    assert int(out.info["n_collisions"]) == 1
+    assert int(out.info["n_failed_runs"]) == 1
+    assert int(out.info["n_successful_runs"]) == 0
+    assert float(out.info["APE"]) > 0.0
+
+
+def test_reach_end_terminates():
+    env = Drone2DEnv(STAGE1_CFG)
+    state, _ = env.reset(jax.random.key(3))
+    body = state.body._replace(pos=state.target, vel=jnp.zeros(2))
+    out = env.step(state._replace(body=body), jnp.array([0.0, 0.0]))
+    assert bool(out.done)
+    assert float(out.info["reach_end_reward"]) == 30.0
+    assert int(out.info["n_successful_runs"]) == 1
+    assert int(out.info["n_collisions"]) == 0
+
+
+def test_aggressive_alpha_terminates():
+    env = Drone2DEnv(STAGE1_CFG)
+    state, _ = env.reset(jax.random.key(4))
+    body = state.body._replace(angle=jnp.float32(np.pi / 2 + 0.05), omega=jnp.float32(0.0))
+    out = env.step(state._replace(body=body), jnp.array([-1.0, -1.0]))
+    assert bool(out.done)
+    assert float(out.info["agressive_alpha_reward"]) == -1.0
+    assert int(out.info["n_failed_runs"]) == 1
+
+
+def test_alpha_band_penalty():
+    env = Drone2DEnv(STAGE1_CFG)
+    state, _ = env.reset(jax.random.key(4))
+    a = np.pi / 3  # inside (band, angle) -> -sin(alpha) after step drift
+    body = state.body._replace(angle=jnp.float32(a), omega=jnp.float32(0.0))
+    out = env.step(state._replace(body=body), jnp.array([-1.0, -1.0]))
+    # angle unchanged by zero-thrust step (omega = 0)
+    assert float(out.info["agressive_alpha_reward"]) == pytest.approx(-np.sin(a), abs=1e-5)
+    assert not bool(out.done)
+
+
+def test_timeout_terminates():
+    env = Drone2DEnv(STAGE1_CFG)
+    state, _ = env.reset(jax.random.key(5))
+    state = state._replace(t=jnp.int32(EnvConfig().n_steps - 1))
+    out = env.step(state, jnp.array([0.0, 0.0]))
+    assert bool(out.done)
+    assert int(out.info["n_failed_runs"]) == 1
+    assert int(out.info["env_steps"]) == EnvConfig().n_steps
+
+
+def test_autoreset_produces_fresh_episode():
+    env = Drone2DEnv(STAGE1_CFG)
+    state, _ = env.reset(jax.random.key(6))
+    state = state._replace(t=jnp.int32(EnvConfig().n_steps - 1))
+    out = env.step_autoreset(state, jnp.array([0.0, 0.0]), jax.random.key(7))
+    assert bool(out.done)  # reports the finished episode
+    assert int(out.state.t) == 0  # but carries a fresh one
+    assert float(out.state.total_reward) == 0.0
+
+
+def test_batched_rollout_smoke():
+    env = Drone2DEnv(CURR_CFG)
+    n = 32
+    key = jax.random.key(8)
+    state, obs = jax.jit(lambda k: env.reset_batch(k, n, 0))(key)
+    assert obs.shape == (n, OBS_DIM)
+
+    @jax.jit
+    def run(state, key):
+        def body(carry, _):
+            state, key = carry
+            key, ka, kr = jax.random.split(key, 3)
+            act = jax.random.uniform(ka, (n, 2), minval=-1.0, maxval=1.0)
+            out = env.step_batch(state, act, kr, 0)
+            return (out.state, key), (out.reward, out.done)
+
+        (state, _), (rews, dones) = jax.lax.scan(body, (state, key), None, length=50)
+        return state, rews, dones
+
+    state, rews, dones = run(state, key)
+    assert rews.shape == (50, n)
+    assert not np.any(np.isnan(np.asarray(rews)))
+    assert np.all(np.asarray(state.t) >= 0)
+
+
+@pytest.mark.parametrize(
+    "step,stage",
+    [(0, 1), (699_999, 1), (700_000, 2), (999_999, 2), (1_000_000, 3),
+     (1_599_999, 3), (1_600_000, 4), (1_999_999, 4), (2_000_000, 5), (9_000_000, 5)],
+)
+def test_stage_schedule(step, stage):
+    assert int(scenarios.stage_from_step(step)) == stage
+
+
+def test_stage2_spawns_randomly():
+    env = Drone2DEnv(EnvConfig(mode="curriculum", scenario="stage_2"))
+    keys = jax.random.split(jax.random.key(9), 16)
+    states, _ = jax.vmap(lambda k: env.reset(k, 0))(keys)
+    starts = np.asarray(states.path.wps[:, 0])
+    poss = np.asarray(states.body.pos)
+    # essentially never exactly at path start
+    assert np.mean(np.linalg.norm(starts - poss, axis=1) > 10) > 0.9
+    assert np.all(poss >= 100 - 1e-3) and np.all(poss <= 1200 + 1e-3)
+
+
+def test_stage5_spawns_obstacles():
+    env = Drone2DEnv(EnvConfig(mode="curriculum", scenario="None"))
+    keys = jax.random.split(jax.random.key(10), 64)
+    states, _ = jax.vmap(lambda k: env.reset(k, 3_000_000))(keys)
+    counts = np.asarray(jnp.sum(states.obstacles.mask, axis=1))
+    # stage 5: n ~ N(1,4) near-path (+1 on-path when n>0); ~15% zero draws
+    assert counts.max() > 3
+    assert (counts == 0).mean() < 0.5
+    # all live obstacles have sane radii
+    r = np.asarray(states.obstacles.r)
+    m = np.asarray(states.obstacles.mask)
+    assert np.all(r[m] >= 10.0 - 1e-5) and np.all(r[m] <= 50.0 + 1e-5)
+
+
+def test_stage1_and_2_no_obstacles():
+    env = Drone2DEnv(EnvConfig(mode="curriculum", scenario="None"))
+    for step in (0, 800_000):
+        keys = jax.random.split(jax.random.key(11), 8)
+        states, _ = jax.vmap(lambda k: env.reset(k, step))(keys)
+        assert int(jnp.sum(states.obstacles.mask)) == 0
+
+
+def test_lookahead_lock_persists():
+    env = Drone2DEnv(STAGE1_CFG)
+    state, _ = env.reset(jax.random.key(12))
+    # place drone near the goal: lookahead clamps to path end -> locks
+    near_goal = state.target - jnp.array([30.0, 0.0])
+    body = state.body._replace(pos=near_goal)
+    out = env.step(state._replace(body=body), jnp.array([0.0, 0.0]))
+    assert bool(out.state.la_locked)
+    # obs 21,22 are the (normalized) goal coords while locked
+    W, H = 1300.0, 1300.0
+    np.testing.assert_allclose(
+        np.asarray([(out.obs[21] + 1) * W / 2, (out.obs[22] + 1) * H / 2]),
+        np.asarray(state.target),
+        atol=0.5,
+    )

@@ -1,0 +1,107 @@
+"""Scenario geometry conformance: the 7 deterministic benchmarks."""
+
+import numpy as np
+import jax
+import pytest
+
+from drone2d_tpu.config import EnvConfig, TEST_SCENARIOS
+from drone2d_tpu.env import scenarios
+from drone2d_tpu.env.env import Drone2DEnv
+from tests.oracle import OracleQPMI
+
+W = H = 1300.0
+
+
+@pytest.mark.parametrize("scen", TEST_SCENARIOS)
+def test_scenario_builds_and_is_padded(scen):
+    geo = scenarios.build_test_scenario(EnvConfig(mode="test", scenario=scen))
+    assert geo.wps.shape == (16, 2)
+    assert geo.obs_xy.shape == (64, 2)
+    k = int(geo.obs_mask.sum())
+    assert k > 0
+    # padding entries repeat the last waypoint
+    np.testing.assert_allclose(
+        geo.wps[geo.n_wps :],
+        np.broadcast_to(geo.wps[geo.n_wps - 1], geo.wps[geo.n_wps :].shape),
+    )
+    # spawn rect is inside the screen and non-degenerate
+    xmin, ymin, xmax, ymax = geo.spawn_rect
+    assert 0 <= xmin < xmax <= W and 0 <= ymin < ymax <= H
+
+
+def test_obstacle_counts_match_reference():
+    # counts derived from test_scenarios.py:169-246 parameter overrides
+    want = {
+        "perpendicular": 6,
+        "parallel": 6,
+        "S_parallel": 20,
+        "corridor": 18,     # 9 per offset path (i in 1..9), two sides
+        "S_corridor": 58,   # 29 per offset path, two sides
+        "impossible": 20,
+        "large": 1,
+    }
+    for scen, k in want.items():
+        geo = scenarios.build_test_scenario(EnvConfig(mode="test", scenario=scen))
+        assert int(geo.obs_mask.sum()) == k, scen
+
+
+def test_perpendicular_geometry():
+    geo = scenarios.build_test_scenario(EnvConfig(mode="test", scenario="perpendicular"))
+    # straight path at y = 650, x in [200, 1100]
+    np.testing.assert_allclose(geo.wps[: geo.n_wps, 1], 650.0)
+    np.testing.assert_allclose(geo.wps[0], [200.0, 650.0])
+    np.testing.assert_allclose(geo.wps[geo.n_wps - 1], [1100.0, 650.0])
+    # 6 obstacles r=20 in a vertical line through the midpoint
+    xy = geo.obs_xy[geo.obs_mask]
+    np.testing.assert_allclose(xy[:, 0], 650.0, atol=1e-3)
+    np.testing.assert_allclose(np.sort(xy[:, 1]), 650.0 + np.arange(-100, 101, 40), atol=1e-3)
+    np.testing.assert_allclose(geo.obs_r[geo.obs_mask], 20.0)
+
+
+def test_large_geometry():
+    geo = scenarios.build_test_scenario(EnvConfig(mode="test", scenario="large"))
+    xy = geo.obs_xy[geo.obs_mask]
+    np.testing.assert_allclose(xy[0], [650.0, 650.0])
+    np.testing.assert_allclose(geo.obs_r[geo.obs_mask][0], 260.0)
+    assert geo.n_wps == 14
+    # the path must clear the obstacle by ~margin
+    path = OracleQPMI(geo.wps[: geo.n_wps])
+    for u in np.linspace(0, path.length, 200):
+        assert np.linalg.norm(path(u) - np.array([650.0, 650.0])) > 260.0
+
+
+def test_parallel_obstacles_on_path():
+    geo = scenarios.build_test_scenario(EnvConfig(mode="test", scenario="parallel"))
+    path = OracleQPMI(geo.wps[: geo.n_wps])
+    for c in geo.obs_xy[geo.obs_mask]:
+        assert np.linalg.norm(path.closest_position(c) - c) < 1.0
+
+
+def test_corridor_obstacles_offset_from_path():
+    geo = scenarios.build_test_scenario(EnvConfig(mode="test", scenario="corridor"))
+    xy = geo.obs_xy[geo.obs_mask]
+    # two walls at y = 650 +- 100, radius 35
+    ys = np.unique(np.round(xy[:, 1], 3))
+    np.testing.assert_allclose(ys, [550.0, 750.0])
+    np.testing.assert_allclose(geo.obs_r[geo.obs_mask], 35.0)
+
+
+def test_impossible_ring_surrounds_goal():
+    geo = scenarios.build_test_scenario(EnvConfig(mode="test", scenario="impossible"))
+    goal = geo.wps[geo.n_wps - 1]
+    xy = geo.obs_xy[geo.obs_mask]
+    d = np.linalg.norm(xy - goal, axis=1)
+    np.testing.assert_allclose(d, 100.0, atol=1e-3)
+
+
+@pytest.mark.parametrize("scen", TEST_SCENARIOS)
+def test_env_runs_in_every_scenario(scen):
+    env = Drone2DEnv(EnvConfig(mode="test", scenario=scen))
+    state, obs = env.reset(jax.random.key(0))
+    out = env.step(state, np.array([0.1, 0.1], np.float32))
+    assert out.obs.shape == (27,)
+    assert np.isfinite(float(out.reward))
+    # spawn rectangle respected
+    xmin, ymin, xmax, ymax = np.asarray(env._spawn_rect)
+    p = np.asarray(state.body.pos)
+    assert xmin <= p[0] <= xmax and ymin <= p[1] <= ymax
