@@ -97,7 +97,10 @@ class EnvConfig:
     max_obs: int = 64              # ≥ any scenario's obstacle count (S_corridor: 58)
     max_curriculum_obs: int = 18   # cap for stage-5 n~N(1,4) draw (≈+4σ)
     path_table_n: int = 512        # dense closest-point table resolution
-    golden_iters: int = 24         # fixed golden-section refine iterations
+    # closest-point refine: 0 = one-shot parabolic interpolation (hot-loop
+    # default; zero serial path evals), >0 = that many golden-section
+    # iterations for fminbound-tight conformance runs (ops/path.py closest_u)
+    golden_iters: int = 0
     obstacle_attempts: int = 8     # rejection-sampling attempts per obstacle
 
     # --- physics constants (reference hard-codes; drone_2d_env.py / Drone.py) ---

@@ -450,6 +450,31 @@ class Drone2DEnv:
         new_obs = jnp.where(out.done, reset_obs, out.obs)
         return out._replace(state=new_state, obs=new_obs)
 
+    def step_autoreset_template(
+        self, state: EnvState, action: jnp.ndarray, reset_state: EnvState,
+        reset_obs: jnp.ndarray,
+    ) -> StepOutput:
+        """Auto-resetting step against a PRECOMPUTED reset target.
+
+        TPU hot-loop variant of `step_autoreset`: episode construction
+        (waypoint chain, quadratic fit, 512-entry arc table, obstacle
+        rejection sampling) is ~100x the cost of a physics step, so
+        regenerating it inside the scanned step — as the reference does by
+        rebuilding its pymunk world every reset (drone_2d_env.py:908-912) —
+        would dominate the program.  Instead the learner resets a fresh
+        template batch ONCE per rollout (amortized over n_steps) and the
+        in-scan step just selects it on done.  An env that finishes twice
+        within one rollout window restarts the same episode geometry; the
+        reference redraws it, but at n_steps >= 128 the refresh rate is
+        statistically equivalent for training.
+        """
+        out = self.step(state, action)
+        new_state = jax.tree.map(
+            lambda a, b: jnp.where(out.done, b, a), out.state, reset_state
+        )
+        new_obs = jnp.where(out.done, reset_obs, out.obs)
+        return out._replace(state=new_state, obs=new_obs)
+
     # -- batched helpers -------------------------------------------------------
 
     def reset_batch(self, key: jax.Array, num_envs: int, global_step=0):
@@ -463,3 +488,9 @@ class Drone2DEnv:
         return jax.vmap(
             lambda s, a, k: self.step_autoreset(s, a, k, global_step)
         )(state, action, keys)
+
+    def step_batch_template(self, state, action, reset_state, reset_obs):
+        """Batched auto-resetting step against a precomputed reset batch."""
+        return jax.vmap(self.step_autoreset_template)(
+            state, action, reset_state, reset_obs
+        )

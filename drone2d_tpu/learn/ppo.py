@@ -1,0 +1,351 @@
+"""On-device clipped PPO — the SB3 `PPO("MlpPolicy")` equivalent.
+
+The reference's whole L5 is external (`main.py:200,208`: SB3 PPO with
+ent_coef=0.01, everything else default).  This module re-implements that
+algorithm TPU-first:
+
+* rollouts are a `lax.scan` over time of the vmapped auto-resetting env
+  step (`Drone2DEnv.step_batch`) with the policy sampled in-graph — the
+  SubprocVecEnv process farm (`main.py:183-190`) becomes thousands of
+  on-chip envs in lockstep;
+* GAE + n_epochs x minibatch clipped-surrogate updates run in the same
+  jit program, so one `update()` call = one XLA executable: no host
+  round-trips inside the hot loop;
+* episode metrics (the `tensorboardlogger.py:49-110` channels) are
+  aggregated on-device inside the rollout scan and fetched once per update.
+
+SB3 defaults mirrored: lr 3e-4, Adam eps 1e-5, gamma .99, lambda .95,
+clip .2, vf_coef .5, ent_coef .01 (rl_config.py:7), max_grad_norm .5,
+advantage normalization per minibatch, unclipped value loss
+(clip_range_vf=None), 10 epochs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from drone2d_tpu.config import EnvConfig, PPOConfig
+from drone2d_tpu.env.env import ACT_DIM, OBS_DIM, Drone2DEnv
+from drone2d_tpu.env.types import EnvState
+from drone2d_tpu.learn.gae import compute_gae
+from drone2d_tpu.models.policy import (
+    ActorCriticParams,
+    action_log_prob_entropy,
+    init_actor_critic,
+    policy_value,
+    sample_action,
+)
+
+# Final-step info components averaged over finished episodes, mirroring the
+# reference's TB channels episodes/avg_* (tensorboardlogger.py:101-108).
+# (The reference's `=` instead of `+=` on the last two — tensorboardlogger.py:88-89
+# — is a bug we do not replicate: all components are summed then averaged.)
+_COMPONENT_KEYS = (
+    "reward",
+    "collision_reward",
+    "collision_avoidance_reward",
+    "path_adherence",
+    "path_progression",
+    "reach_end_reward",
+    "agressive_alpha_reward",
+)
+
+
+class EpisodeStats(NamedTuple):
+    """On-device accumulator of per-episode metrics over one rollout."""
+
+    n_episodes: jnp.ndarray          # () f32 — finished episodes
+    sum_length: jnp.ndarray          # () f32 — sum of final env_steps
+    sum_total_reward: jnp.ndarray    # () f32 — sum of episode returns
+    sum_ape: jnp.ndarray             # () f32 — sum of episode APEs
+    n_success: jnp.ndarray           # () f32
+    n_fail: jnp.ndarray              # () f32
+    n_collision: jnp.ndarray         # () f32
+    sum_components: jnp.ndarray      # (7,) f32 — final-step reward components
+
+    @staticmethod
+    def zeros() -> "EpisodeStats":
+        z = jnp.float32(0.0)
+        return EpisodeStats(z, z, z, z, z, z, z, jnp.zeros((7,), jnp.float32))
+
+    def merge(self, info: Dict[str, jnp.ndarray], done: jnp.ndarray) -> "EpisodeStats":
+        d = done.astype(jnp.float32)
+        comp = jnp.stack([jnp.sum(info[k] * d) for k in _COMPONENT_KEYS])
+        return EpisodeStats(
+            n_episodes=self.n_episodes + jnp.sum(d),
+            sum_length=self.sum_length + jnp.sum(info["env_steps"] * d),
+            sum_total_reward=self.sum_total_reward + jnp.sum(info["total_reward"] * d),
+            sum_ape=self.sum_ape + jnp.sum(info["APE"] * d),
+            n_success=self.n_success + jnp.sum(info["n_successful_runs"] * d),
+            n_fail=self.n_fail + jnp.sum(info["n_failed_runs"] * d),
+            n_collision=self.n_collision + jnp.sum(info["n_collisions"] * d),
+            sum_components=self.sum_components + comp,
+        )
+
+    def summary(self) -> Dict[str, jnp.ndarray]:
+        n = jnp.maximum(self.n_episodes, 1.0)
+        out = {
+            "episodes": self.n_episodes,
+            "avg_length": self.sum_length / n,
+            "avg_total_reward": self.sum_total_reward / n,
+            "avg_APE": self.sum_ape / n,
+            "success_rate": self.n_success / n,
+            "failure_rate": self.n_fail / n,
+            "collision_rate": self.n_collision / n,
+        }
+        for i, k in enumerate(_COMPONENT_KEYS):
+            out[f"avg_{k}"] = self.sum_components[i] / n
+        return out
+
+
+class TrainState(NamedTuple):
+    params: ActorCriticParams
+    opt_state: optax.OptState
+    env_state: EnvState            # batched (leading dim = local num_envs)
+    obs: jnp.ndarray               # (N, 27)
+    rng: jax.Array
+    global_step: jnp.ndarray       # () int64-ish f32-safe int32 env-step counter
+
+
+class RolloutBatch(NamedTuple):
+    obs: jnp.ndarray        # (T, N, 27)
+    actions: jnp.ndarray    # (T, N, 2)
+    log_probs: jnp.ndarray  # (T, N)
+    values: jnp.ndarray     # (T, N)
+    rewards: jnp.ndarray    # (T, N)
+    dones: jnp.ndarray      # (T, N)
+
+
+class PPOLearner:
+    """Binds (EnvConfig, PPOConfig, num_envs) into pure jit-ready functions.
+
+    `update(state)` is the one-call training step: rollout n_steps, GAE,
+    epochs x minibatches, returns (new_state, metrics).  Shard it over a
+    mesh with `drone2d_tpu.parallel.shard_update`.
+    """
+
+    def __init__(
+        self,
+        env_cfg: EnvConfig,
+        ppo_cfg: PPOConfig,
+        num_envs: int,
+        *,
+        step_increment: int | None = None,
+    ):
+        self.env = Drone2DEnv(env_cfg)
+        self.cfg = ppo_cfg
+        self.num_envs = num_envs
+        # global_step advance per env step; under shard_map the local learner
+        # steps num_envs/n_dev envs but the GLOBAL batch advances by the full
+        # env count, which drives the curriculum clock (scenarios.stage_from_step)
+        self.step_increment = num_envs if step_increment is None else step_increment
+        batch_size = ppo_cfg.n_steps * num_envs
+        if batch_size % ppo_cfg.num_minibatches:
+            raise ValueError(
+                f"n_steps*num_envs={batch_size} not divisible by "
+                f"num_minibatches={ppo_cfg.num_minibatches}"
+            )
+        self.minibatch_size = batch_size // ppo_cfg.num_minibatches
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
+            optax.adam(ppo_cfg.learning_rate, eps=1e-5),
+        )
+
+    # -- construction --------------------------------------------------------
+
+    def init(self, key: jax.Array) -> TrainState:
+        k_params, k_env, k_rng = jax.random.split(key, 3)
+        params = init_actor_critic(
+            k_params, OBS_DIM, ACT_DIM, self.cfg.hidden_sizes
+        )
+        env_state, obs = self.env.reset_batch(k_env, self.num_envs, 0)
+        return TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            env_state=env_state,
+            obs=obs,
+            rng=k_rng,
+            global_step=jnp.int32(0),
+        )
+
+    # -- rollout -------------------------------------------------------------
+
+    def rollout(
+        self, state: TrainState
+    ) -> Tuple[TrainState, RolloutBatch, jnp.ndarray, EpisodeStats]:
+        """Collect n_steps across all envs under the current policy.
+
+        Returns (state', batch, last_values, episode_stats)."""
+        cfg = self.cfg
+
+        # fresh reset targets, built ONCE per rollout outside the scan (the
+        # in-scan auto-reset only selects them; see step_autoreset_template)
+        template_key, rollout_rng = jax.random.split(state.rng)
+        reset_state, reset_obs = self.env.reset_batch(
+            template_key, self.num_envs, state.global_step
+        )
+
+        def step_fn(carry, _):
+            env_state, obs, rng, global_step = carry
+            rng, k_act = jax.random.split(rng)
+            action, log_prob, value = sample_action(state.params, obs, k_act)
+            clipped = jnp.clip(action, -1.0, 1.0)  # SB3 clips for the env only
+            out = self.env.step_batch_template(
+                env_state, clipped, reset_state, reset_obs
+            )
+            stats_delta = (out.info, out.done)
+            carry = (out.state, out.obs, rng, global_step + self.step_increment)
+            ys = (obs, action, log_prob, value, out.reward, out.done, stats_delta)
+            return carry, ys
+
+        (env_state, obs, rng, global_step), ys = jax.lax.scan(
+            step_fn,
+            (state.env_state, state.obs, rollout_rng, state.global_step),
+            None,
+            length=cfg.n_steps,
+        )
+        obs_t, actions, log_probs, values, rewards, dones, stats_seq = ys
+
+        # fold per-step episode stats (infos stacked over T by the scan)
+        stats = EpisodeStats.zeros()
+        infos, done_seq = stats_seq
+        d = done_seq.astype(jnp.float32)
+        n_done = jnp.sum(d)
+        comp = jnp.stack([jnp.sum(infos[k] * d) for k in _COMPONENT_KEYS])
+        stats = EpisodeStats(
+            n_episodes=n_done,
+            sum_length=jnp.sum(infos["env_steps"] * d),
+            sum_total_reward=jnp.sum(infos["total_reward"] * d),
+            sum_ape=jnp.sum(infos["APE"] * d),
+            n_success=jnp.sum(infos["n_successful_runs"] * d),
+            n_fail=jnp.sum(infos["n_failed_runs"] * d),
+            n_collision=jnp.sum(infos["n_collisions"] * d),
+            sum_components=comp,
+        )
+
+        _, _, last_values = policy_value(state.params, obs)
+        new_state = state._replace(
+            env_state=env_state, obs=obs, rng=rng, global_step=global_step
+        )
+        batch = RolloutBatch(obs_t, actions, log_probs, values, rewards, dones)
+        return new_state, batch, last_values, stats
+
+    # -- loss ----------------------------------------------------------------
+
+    def loss_fn(
+        self,
+        params: ActorCriticParams,
+        obs: jnp.ndarray,
+        actions: jnp.ndarray,
+        old_log_probs: jnp.ndarray,
+        advantages: jnp.ndarray,
+        returns: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        cfg = self.cfg
+        log_prob, entropy, value = action_log_prob_entropy(params, obs, actions)
+
+        # per-minibatch advantage normalization (SB3 normalize_advantage=True)
+        adv = (advantages - jnp.mean(advantages)) / (jnp.std(advantages) + 1e-8)
+
+        ratio = jnp.exp(log_prob - old_log_probs)
+        pg1 = adv * ratio
+        pg2 = adv * jnp.clip(ratio, 1.0 - cfg.clip_range, 1.0 + cfg.clip_range)
+        pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
+
+        v_loss = jnp.mean((returns - value) ** 2)
+        ent = jnp.mean(entropy)
+        loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+
+        clip_frac = jnp.mean((jnp.abs(ratio - 1.0) > cfg.clip_range).astype(jnp.float32))
+        approx_kl = jnp.mean(old_log_probs - log_prob)
+        aux = dict(
+            policy_loss=pg_loss,
+            value_loss=v_loss,
+            entropy=ent,
+            clip_fraction=clip_frac,
+            approx_kl=approx_kl,
+        )
+        return loss, aux
+
+    # -- update --------------------------------------------------------------
+
+    def update(
+        self, state: TrainState, *, axis_name: str | None = None
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """One PPO iteration.  If axis_name is set (inside shard_map), the
+        gradient and the scalar metrics are psum-averaged across shards."""
+        cfg = self.cfg
+        state, batch, last_values, stats = self.rollout(state)
+        advantages, returns = compute_gae(
+            batch.rewards,
+            batch.values,
+            batch.dones,
+            last_values,
+            gamma=cfg.gamma,
+            gae_lambda=cfg.gae_lambda,
+        )
+
+        B = cfg.n_steps * self.num_envs
+        flat = jax.tree.map(
+            lambda x: x.reshape((B,) + x.shape[2:]),
+            (batch.obs, batch.actions, batch.log_probs, advantages, returns),
+        )
+
+        def epoch_body(carry, _):
+            params, opt_state, rng = carry
+            rng, k_perm = jax.random.split(rng)
+            perm = jax.random.permutation(k_perm, B)
+            shuffled = jax.tree.map(lambda x: x[perm], flat)
+            mb = jax.tree.map(
+                lambda x: x.reshape(
+                    (cfg.num_minibatches, self.minibatch_size) + x.shape[1:]
+                ),
+                shuffled,
+            )
+
+            def mb_body(carry, mb_data):
+                params, opt_state = carry
+                (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                    params, *mb_data
+                )
+                if axis_name is not None:
+                    grads = jax.lax.pmean(grads, axis_name)
+                    loss = jax.lax.pmean(loss, axis_name)
+                    aux = jax.lax.pmean(aux, axis_name)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, aux)
+
+            (params, opt_state), (losses, auxes) = jax.lax.scan(
+                mb_body, (params, opt_state), mb
+            )
+            return (params, opt_state, rng), (losses, auxes)
+
+        (params, opt_state, rng), (losses, auxes) = jax.lax.scan(
+            epoch_body, (state.params, state.opt_state, state.rng), None,
+            length=cfg.n_epochs,
+        )
+
+        metrics = {"loss": jnp.mean(losses)}
+        for k, v in auxes.items():
+            metrics[k] = jnp.mean(v)
+        ep = stats.summary()
+        if axis_name is not None:
+            # episode stats are per-shard sums -> psum them; rates re-derive
+            stats_g = jax.tree.map(lambda x: jax.lax.psum(x, axis_name), stats)
+            ep = stats_g.summary()
+        metrics.update({f"episodes/{k}": v for k, v in ep.items()})
+        metrics["global_step"] = state.global_step
+
+        new_state = state._replace(params=params, opt_state=opt_state, rng=rng)
+        return new_state, metrics
+
+    # convenience jitted single-device update
+    @partial(jax.jit, static_argnums=0)
+    def update_jit(self, state: TrainState):
+        return self.update(state)

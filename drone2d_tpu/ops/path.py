@@ -54,19 +54,6 @@ class PathData(NamedTuple):
     table_xy: jnp.ndarray  # (TABLE_N, 2) path points at table_u
 
 
-def _poly_at(pd: PathData, coef: jnp.ndarray, j: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-    """Evaluate centered quadratic j at u: (a*tau + b)*tau + c, tau = u - center."""
-    c3 = coef[j]
-    tau = u - pd.centers[j]
-    return (c3[0] * tau + c3[1]) * tau + c3[2]
-
-
-def _dpoly_at(pd: PathData, coef: jnp.ndarray, j: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-    c3 = coef[j]
-    tau = u - pd.centers[j]
-    return 2.0 * c3[0] * tau + c3[1]
-
-
 def _u_index(us: jnp.ndarray, n_wps: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """Segment index per reference get_u_index (predef_path.py:53-63).
 
@@ -79,15 +66,39 @@ def _u_index(us: jnp.ndarray, n_wps: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray
 
 
 def _eval(pd: PathData, u: jnp.ndarray, deriv: bool) -> jnp.ndarray:
-    """Shared body of path_point / path_gradient for scalar u."""
+    """Shared body of path_point / path_gradient for scalar u.
+
+    TPU note: written GATHER-FREE.  Under vmap every dynamic index
+    (`coef[n]`, `us[n]`) would become a batched gather — hundreds of tiny
+    unfusable kernels per env step.  Instead we evaluate ALL max_wps-2
+    segment quadratics densely (a (S,)-wide VPU op) and combine them with a
+    one-hot weight vector; selections from `us` become one-hot dot products.
+    Semantics are identical to the reference's branchy scalar code,
+    including the Python-negative-index wrap for u below the path start
+    (x_params[n-1] with n == 0 -> LAST segment, predef_path.py:114-141).
+    """
     n_wps = pd.n_wps
+    S = pd.coef_x.shape[0]
     n_params = n_wps - 2  # live quadratic segments
-    us_last = pd.us[n_wps - 1]           # == length
-    us_second_last = pd.us[n_wps - 2]
+    sidx = jnp.arange(S)
+    widx = jnp.arange(pd.us.shape[0])
+
+    def us_at(i):  # one-hot gather from the (max_wps,) u-knot table
+        return jnp.sum(jnp.where(widx == i, pd.us, 0.0))
+
+    us_last = us_at(n_wps - 1)           # == length
+    us_second_last = us_at(n_wps - 2)
 
     n = _u_index(pd.us, n_wps, u)
 
-    ev = _dpoly_at if deriv else _poly_at
+    # dense evaluation of every segment's centered quadratic at u
+    tau = u - pd.centers                                     # (S,)
+    if deriv:
+        vx = 2.0 * pd.coef_x[:, 0] * tau + pd.coef_x[:, 1]
+        vy = 2.0 * pd.coef_y[:, 0] * tau + pd.coef_y[:, 1]
+    else:
+        vx = (pd.coef_x[:, 0] * tau + pd.coef_x[:, 1]) * tau + pd.coef_x[:, 2]
+        vy = (pd.coef_y[:, 0] * tau + pd.coef_y[:, 1]) * tau + pd.coef_y[:, 2]
 
     first = (u >= pd.us[0]) & (u <= pd.us[1])
     if deriv:
@@ -97,28 +108,24 @@ def _eval(pd: PathData, u: jnp.ndarray, deriv: bool) -> jnp.ndarray:
     else:
         last = ((u >= us_second_last - 0.001) & (u <= us_last)) | (n == n_wps - 1)
 
-    # membership branch (predef_path.py:114-141); note the deliberate
-    # replication of Python negative indexing for n == 0 (u below path start).
+    # membership blending (predef_path.py:114-141)
     j1 = jnp.where(n - 1 < 0, n_params - 1, n - 1)          # x_params[n-1]
-    j1 = jnp.clip(j1, 0, pd.coef_x.shape[0] - 1)
-    j2 = jnp.clip(n, 0, pd.coef_x.shape[0] - 1)             # x_params[n]
-    un = pd.us[jnp.clip(n, 0, pd.us.shape[0] - 1)]
-    un1 = pd.us[jnp.clip(n + 1, 0, pd.us.shape[0] - 1)]
+    j1 = jnp.clip(j1, 0, S - 1)
+    j2 = jnp.clip(n, 0, S - 1)                              # x_params[n]
+    un = us_at(jnp.clip(n, 0, pd.us.shape[0] - 1))
+    un1 = us_at(jnp.clip(n + 1, 0, pd.us.shape[0] - 1))
     denom = jnp.where(jnp.abs(un1 - un) < _EPS, _EPS, un1 - un)
     mu_r = (u - un) / denom
     mu_f = (un1 - u) / denom
 
-    x_first = ev(pd, pd.coef_x, 0, u)
-    y_first = ev(pd, pd.coef_y, 0, u)
-    jl = jnp.clip(n_params - 1, 0, pd.coef_x.shape[0] - 1)
-    x_last = ev(pd, pd.coef_x, jl, u)
-    y_last = ev(pd, pd.coef_y, jl, u)
-    x_mid = mu_r * ev(pd, pd.coef_x, j2, u) + mu_f * ev(pd, pd.coef_x, j1, u)
-    y_mid = mu_r * ev(pd, pd.coef_y, j2, u) + mu_f * ev(pd, pd.coef_y, j1, u)
+    # one weight vector expressing all three branches, then a single reduction
+    jl = jnp.clip(n_params - 1, 0, S - 1)
+    w_mid = mu_r * (sidx == j2) + mu_f * (sidx == j1)
+    w_first = (sidx == 0).astype(vx.dtype)
+    w_last = (sidx == jl).astype(vx.dtype)
+    w = jnp.where(first, w_first, jnp.where(last, w_last, w_mid))
 
-    x = jnp.where(first, x_first, jnp.where(last, x_last, x_mid))
-    y = jnp.where(first, y_first, jnp.where(last, y_last, y_mid))
-    return jnp.stack([x, y])
+    return jnp.stack([jnp.sum(w * vx), jnp.sum(w * vy)])
 
 
 def path_point(pd: PathData, u: jnp.ndarray) -> jnp.ndarray:
@@ -213,26 +220,57 @@ def make_path(
     return pd._replace(table_u=table_u, table_xy=table_xy)
 
 
-def closest_u(pd: PathData, position: jnp.ndarray, *, golden_iters: int) -> jnp.ndarray:
+def closest_u(pd: PathData, position: jnp.ndarray, *, golden_iters: int = 0) -> jnp.ndarray:
     """argmin_u |path(u) - position| over [-margin, L+margin].
 
-    Replaces the reference's per-step scipy fminbound (predef_path.py:246-248)
-    with: dense table argmin (global) + golden-section refine on the
-    2-cell bracket around the winner (local, fixed iteration count).
+    Replaces the reference's per-step scipy fminbound (predef_path.py:246-248).
+    Fast path (golden_iters=0, the hot-loop default): dense table argmin +
+    one-shot parabolic interpolation through the three bracketing samples —
+    the distance functional is piecewise-smooth, so near its minimum the
+    parabola nails u* to O(du^2) with ZERO extra path evaluations and zero
+    sequential dependencies (pure VPU math; the golden-section alternative
+    costs `iters` serial path evals per step, each a fusion barrier).
+    Parity path (golden_iters>0): additionally run that many golden-section
+    iterations on the 2-cell bracket for fminbound-tight conformance runs.
     """
     d = pd.table_xy - position[None, :]
     dist2 = jnp.sum(d * d, axis=-1)
     i0 = jnp.argmin(dist2)
-    a = pd.table_u[jnp.maximum(i0 - 1, 0)]
-    b = pd.table_u[jnp.minimum(i0 + 1, pd.table_u.shape[0] - 1)]
+    T = pd.table_u.shape[0]
+    im = jnp.maximum(i0 - 1, 0)
+    ip = jnp.minimum(i0 + 1, T - 1)
+
+    u0, ua, ub = pd.table_u[i0], pd.table_u[im], pd.table_u[ip]
 
     def f(u):
         p = path_point(pd, u) - position
         return jnp.sum(p * p)
 
+    du = (pd.table_u[-1] - pd.table_u[0]) / (T - 1)
+
+    if golden_iters <= 0:
+        # Two-stage refine, all evals data-parallel (no serial chain):
+        # 1) 17-point fine scan at du/8 spacing across the winning bracket
+        #    (the distance functional can have a derivative kink at segment
+        #    boundaries — worst at the reference's u<0 negative-index wrap —
+        #    which defeats a single parabola at du spacing);
+        # 2) parabolic interpolation through the best fine triple.
+        R = 17
+        fine_u = u0 + jnp.linspace(-du, du, R)
+        fine_f = jax.vmap(f)(fine_u)
+        j = jnp.clip(jnp.argmin(fine_f), 1, R - 2)
+        fa2, f02, fb2 = fine_f[j - 1], fine_f[j], fine_f[j + 1]
+        h = 2.0 * du / (R - 1)
+        denom = fa2 - 2.0 * f02 + fb2
+        offset = jnp.where(jnp.abs(denom) < _EPS, 0.0, 0.5 * h * (fa2 - fb2) / denom)
+        u_star = fine_u[j] + jnp.clip(offset, -h, h)
+        lo, hi = pd.table_u[0], pd.table_u[-1]
+        return jnp.clip(u_star, lo, hi)
+
     invphi = 0.6180339887498949   # 1/phi
     invphi2 = 0.3819660112501051  # 1/phi^2
 
+    a, b = ua, ub
     c = a + invphi2 * (b - a)
     dd = a + invphi * (b - a)
     fc, fd = f(c), f(dd)

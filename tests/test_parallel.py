@@ -1,0 +1,69 @@
+"""Sharded training path on the 8-virtual-device CPU mesh
+(SURVEY.md §4: distributed tests without a cluster)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from drone2d_tpu.config import EnvConfig, PPOConfig
+from drone2d_tpu.learn.ppo import PPOLearner
+from drone2d_tpu.parallel import make_mesh, shard_init, shard_update
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs the 8-virtual-device CPU mesh"
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    env_cfg = EnvConfig(path_table_n=128, golden_iters=8)
+    ppo_cfg = PPOConfig(n_steps=8, num_minibatches=4, n_epochs=2)
+    learner = PPOLearner(env_cfg, ppo_cfg, num_envs=16)
+    mesh = make_mesh()
+    return learner, mesh
+
+
+def test_shard_init_layout(setup):
+    learner, mesh = setup
+    state = shard_init(mesh, learner, jax.random.PRNGKey(0))
+    n_dev = mesh.devices.size
+    # env batch sharded over devices, params replicated
+    assert state.obs.shape == (learner.num_envs, 27)
+    assert len(state.obs.sharding.device_set) == n_dev
+    assert state.params.log_std.sharding.is_fully_replicated
+
+
+def test_shard_update_runs_and_advances(setup):
+    learner, mesh = setup
+    state = shard_init(mesh, learner, jax.random.PRNGKey(0))
+    upd = shard_update(mesh, learner)
+    state2, metrics = upd(state)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.global_step) == learner.cfg.n_steps * learner.num_envs
+    state3, metrics3 = upd(state2)
+    assert np.isfinite(float(metrics3["loss"]))
+    assert int(state3.global_step) == 2 * learner.cfg.n_steps * learner.num_envs
+
+
+def test_shard_update_grads_synchronized(setup):
+    """After a sharded update the (replicated) params must be identical on
+    every device — the pmean made shards agree."""
+    learner, mesh = setup
+    state = shard_init(mesh, learner, jax.random.PRNGKey(0))
+    upd = shard_update(mesh, learner)
+    state2, _ = upd(state)
+    w = state2.params.pi[0].w
+    assert w.sharding.is_fully_replicated
+    shards = [np.asarray(s.data) for s in w.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_graft_entry_points():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    g.dryrun_multichip(len(jax.devices()))
