@@ -1,0 +1,151 @@
+"""Evaluation CLI — the reference's `mode == "test"` harness (`main.py:242-400`)
+as a command:
+
+    python -m drone2d_tpu.eval.run --agent logs/new_agent.npz \\
+        --scenario corridor --episodes 100
+
+Runs all episodes as ONE vectorized device program (vs the reference's
+sequential while-loop), then writes the identical artifact set: results.txt,
+collisions/rewards/apes/time_spent .npy, flight_paths JSON, flight-path
+overlay PNG, and a replay GIF.  `--scenario all` sweeps the 12-scenario
+suite (7 spatial + 5 curriculum stages, rl_config.py:45-58).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from drone2d_tpu.config import (
+    ALL_SCENARIOS,
+    STAGE_SCENARIOS,
+    TEST_SCENARIOS,
+    EnvConfig,
+)
+from drone2d_tpu.eval.artifacts import write_campaign
+from drone2d_tpu.eval.episode import run_episodes
+from drone2d_tpu.models.policy import ActorCriticParams, flat_dict_to_params
+
+
+def load_params(path: str) -> Optional[ActorCriticParams]:
+    """Load policy params from a train-CLI .npz or an orbax checkpoint dir.
+    Returns None for the literal 'random' (random-policy baseline)."""
+    if path == "random":
+        return None
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return flat_dict_to_params(dict(z))
+    # orbax checkpoint directory: restore raw pytree, pick params subtree
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(os.path.abspath(path))
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {path!r}")
+    payload = mgr.restore(step)
+    mgr.close()
+    flat = payload["params"]
+    # StandardRestore without a template returns nested dicts mirroring the
+    # NamedTuple fields
+    import jax.numpy as jnp
+
+    from drone2d_tpu.models.policy import Dense
+
+    def dense(d):
+        return Dense(w=jnp.asarray(d["w"]), b=jnp.asarray(d["b"]))
+
+    return ActorCriticParams(
+        pi=tuple(dense(l) for l in flat["pi"]),
+        vf=tuple(dense(l) for l in flat["vf"]),
+        pi_out=dense(flat["pi_out"]),
+        vf_out=dense(flat["vf_out"]),
+        log_std=jnp.asarray(flat["log_std"]),
+    )
+
+
+def scenario_config(scenario: str, base: Optional[EnvConfig] = None) -> EnvConfig:
+    """Env config for one scenario name, mirroring env_test_config derivation
+    (rl_config.py:63-79): spatial scenarios -> mode='test'; stage_k ->
+    mode='curriculum' with the stage forced."""
+    base = base or EnvConfig()
+    if scenario in TEST_SCENARIOS:
+        return base.replace(mode="test", scenario=scenario)
+    if scenario in STAGE_SCENARIOS:
+        return base.replace(mode="curriculum", scenario=scenario)
+    raise ValueError(f"unknown scenario {scenario!r} (choose from {ALL_SCENARIOS})")
+
+
+def evaluate(
+    agent_path: str,
+    scenario: str,
+    episodes: int,
+    *,
+    seed: int = 0,
+    deterministic: bool = False,
+    out_root: str = "Tests",
+    gif_root: Optional[str] = "Gifs",
+    agent_name: Optional[str] = None,
+) -> dict:
+    params = load_params(agent_path)
+    cfg = scenario_config(scenario)
+    results = run_episodes(
+        cfg, params, jax.random.PRNGKey(seed), episodes,
+        deterministic=deterministic,
+    )
+    agent = agent_name or (
+        "agent_" + os.path.basename(agent_path).split(".")[0].split("_")[-1]
+    )
+    out_dir = write_campaign(
+        cfg, results, agent=agent, agent_path=agent_path,
+        scenario=scenario, root=out_root, gif_root=gif_root,
+    )
+    n = max(int(np.sum(results.success) + np.sum(results.fail)), 1)
+    summary = dict(
+        scenario=scenario,
+        episodes=episodes,
+        success_rate=float(np.sum(results.success)) / n,
+        collision_rate=float(np.sum(results.collision)) / n,
+        avg_ape=float(np.mean(results.ape)),
+        avg_flight_time=float(np.mean(results.time_steps.astype(np.float64))),
+        out_dir=out_dir,
+    )
+    print(
+        f"{scenario:>14s}: SR {summary['success_rate']:.2f}  "
+        f"CR {summary['collision_rate']:.2f}  APE {summary['avg_ape']:.1f}  "
+        f"T {summary['avg_flight_time']:.1f}  -> {out_dir}"
+    )
+    return summary
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--agent", required=True,
+                   help=".npz params, orbax checkpoint dir, or 'random'")
+    p.add_argument("--scenario", default="large",
+                   help="scenario name or 'all' (choices: %s)" % ",".join(ALL_SCENARIOS))
+    p.add_argument("--episodes", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--deterministic", action="store_true")
+    p.add_argument("--out-root", default="Tests")
+    p.add_argument("--gif-root", default="Gifs")
+    p.add_argument("--no-gif", action="store_true")
+    p.add_argument("--agent-name", default=None)
+    args = p.parse_args(argv)
+
+    scenarios = ALL_SCENARIOS if args.scenario == "all" else (args.scenario,)
+    for s in scenarios:
+        evaluate(
+            args.agent, s, args.episodes,
+            seed=args.seed, deterministic=args.deterministic,
+            out_root=args.out_root,
+            gif_root=None if args.no_gif else args.gif_root,
+            agent_name=args.agent_name,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -123,6 +123,52 @@ def action_log_prob_entropy(
     return log_prob, entropy, value
 
 
+def params_to_flat_dict(params: ActorCriticParams) -> dict:
+    """Canonical flat naming for .npz export (train.py final save)."""
+    out = {"log_std": params.log_std}
+    for trunk, layers in (("pi", params.pi), ("vf", params.vf)):
+        for i, layer in enumerate(layers):
+            out[f"{trunk}{i}/w"] = layer.w
+            out[f"{trunk}{i}/b"] = layer.b
+    out["pi_out/w"] = params.pi_out.w
+    out["pi_out/b"] = params.pi_out.b
+    out["vf_out/w"] = params.vf_out.w
+    out["vf_out/b"] = params.vf_out.b
+    return out
+
+
+def flat_dict_to_params(flat: dict) -> ActorCriticParams:
+    """Inverse of params_to_flat_dict (accepts npz mappings)."""
+    import numpy as np
+
+    def layers(trunk):
+        out = []
+        i = 0
+        while f"{trunk}{i}/w" in flat:
+            out.append(
+                Dense(
+                    w=jnp.asarray(np.asarray(flat[f"{trunk}{i}/w"])),
+                    b=jnp.asarray(np.asarray(flat[f"{trunk}{i}/b"])),
+                )
+            )
+            i += 1
+        return tuple(out)
+
+    return ActorCriticParams(
+        pi=layers("pi"),
+        vf=layers("vf"),
+        pi_out=Dense(
+            w=jnp.asarray(np.asarray(flat["pi_out/w"])),
+            b=jnp.asarray(np.asarray(flat["pi_out/b"])),
+        ),
+        vf_out=Dense(
+            w=jnp.asarray(np.asarray(flat["vf_out/w"])),
+            b=jnp.asarray(np.asarray(flat["vf_out/b"])),
+        ),
+        log_std=jnp.asarray(np.asarray(flat["log_std"])),
+    )
+
+
 def deterministic_action(params: ActorCriticParams, obs: jnp.ndarray) -> jnp.ndarray:
     """Greedy action (SB3 `model.predict(obs, deterministic=True)`),
     clipped to the Box bounds as SB3's predict does."""

@@ -1,0 +1,142 @@
+"""Training driver — the `mode == "train"` path of reference `main.py:149-210`
+as a real CLI instead of edit-the-source mode switching (`main.py:104-133`).
+
+    python -m drone2d_tpu.train --total-timesteps 9000000 --num-envs 4096
+
+Maps the reference pipeline to TPU:
+  SubprocVecEnv(cpu_count-2)          -> env batch sharded over jax.devices()
+  PPO("MlpPolicy", ent_coef=0.01)     -> drone2d_tpu.learn.PPOLearner
+  CheckpointCallback(100000//n_cpu)   -> orbax save every checkpoint_every_steps
+  TensorboardLogger                   -> MetricsWriter (JSONL + TB)
+  curriculum via checkpoint glob      -> global_step carried in TrainState
+  model.save('new_agent')             -> final checkpoint + params .npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+import jax
+import numpy as np
+
+from drone2d_tpu.config import EnvConfig, PPOConfig, TrainConfig
+from drone2d_tpu.learn.ppo import PPOLearner
+from drone2d_tpu.parallel import make_mesh, shard_init, shard_update
+from drone2d_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from drone2d_tpu.utils.metrics import MetricsWriter
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, prefix: str, cls) -> None:
+    for f in dataclasses.fields(cls):
+        if not isinstance(f.default, (int, float, str, bool)):
+            continue
+        name = f"--{prefix.replace('_', '-')}{f.name.replace('_', '-')}"
+        if isinstance(f.default, bool):
+            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=f.default, metavar="BOOL")
+        else:
+            parser.add_argument(name, type=type(f.default), default=f.default)
+
+
+def _collect(args, prefix: str, cls):
+    kw = {}
+    for f in dataclasses.fields(cls):
+        key = f"{prefix}{f.name}"
+        if hasattr(args, key):
+            kw[f.name] = getattr(args, key)
+    return cls(**kw)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    _add_dataclass_args(p, "", TrainConfig)
+    _add_dataclass_args(p, "env_", EnvConfig)
+    _add_dataclass_args(p, "ppo_", PPOConfig)
+    p.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
+    p.add_argument("--max-updates", type=int, default=0, help="stop after N updates (0 = by timesteps)")
+    return p
+
+
+def train(
+    train_cfg: TrainConfig,
+    env_cfg: EnvConfig,
+    ppo_cfg: PPOConfig,
+    *,
+    resume: bool = False,
+    max_updates: int = 0,
+) -> None:
+    learner = PPOLearner(env_cfg, ppo_cfg, train_cfg.num_envs)
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(train_cfg.seed)
+
+    start_step = 0
+    if resume:
+        state, start_step = restore_checkpoint(train_cfg.checkpoint_dir, learner, key)
+        print(f"resumed from step {start_step}")
+    else:
+        state = shard_init(mesh, learner, key)
+
+    upd = shard_update(mesh, learner)
+    writer = MetricsWriter(
+        train_cfg.metrics_path, tensorboard_dir=f"{train_cfg.checkpoint_dir}/tb"
+    )
+    writer.write_config_snapshot(
+        train_cfg.checkpoint_dir,
+        env_train_config=env_cfg, rl_config=ppo_cfg, train_config=train_cfg,
+    )
+
+    steps_per_update = ppo_cfg.n_steps * train_cfg.num_envs
+    next_ckpt = (start_step // train_cfg.checkpoint_every_steps + 1) * train_cfg.checkpoint_every_steps
+    n_updates = 0
+    t0 = time.perf_counter()
+    try:
+        while True:
+            state, metrics = upd(state)
+            n_updates += 1
+            gs = int(np.asarray(jax.device_get(metrics["global_step"])))
+            if n_updates % train_cfg.log_every_updates == 0:
+                m = {k: float(np.asarray(v)) for k, v in jax.device_get(metrics).items()}
+                rate = steps_per_update * n_updates / (time.perf_counter() - t0)
+                m["throughput/env_steps_per_s"] = rate
+                writer.write(gs, m)
+                print(
+                    f"step {gs:>9d}  loss {m['loss']:8.3f}  "
+                    f"ep_ret {m['episodes/avg_total_reward']:8.2f}  "
+                    f"sr {m['episodes/success_rate']:.2f}  {rate:,.0f} steps/s"
+                )
+            if gs >= next_ckpt:
+                save_checkpoint(train_cfg.checkpoint_dir, state)
+                next_ckpt += train_cfg.checkpoint_every_steps
+            if gs >= train_cfg.total_timesteps:
+                break
+            if max_updates and n_updates >= max_updates:
+                break
+    finally:
+        # final save (reference model.save('new_agent'), main.py:209)
+        step = save_checkpoint(train_cfg.checkpoint_dir, state, wait=True)
+        from drone2d_tpu.models.policy import params_to_flat_dict
+
+        flat = {
+            k: np.asarray(v)
+            for k, v in params_to_flat_dict(jax.device_get(state.params)).items()
+        }
+        np.savez(f"{train_cfg.checkpoint_dir}/new_agent.npz", **flat)
+        writer.close()
+        print(f"saved final checkpoint at step {step}")
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    train(
+        _collect(args, "", TrainConfig),
+        _collect(args, "env_", EnvConfig),
+        _collect(args, "ppo_", PPOConfig),
+        resume=args.resume,
+        max_updates=args.max_updates,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Host-side metrics sink: JSONL always, TensorBoard when available.
+
+Mirrors the reference's observability rails: the 8 `episodes/avg_*` channels
+plus `time/episodes` written by `tensorboardlogger.py:101-108`, and the
+config snapshots `main.py:202-206` dumps to `logs/*.txt` (without
+reproducing the single-threaded-path bug that overwrites the env config —
+`main.py:170-174`, SURVEY.md §5.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class MetricsWriter:
+    def __init__(self, jsonl_path: str, tensorboard_dir: Optional[str] = None):
+        os.makedirs(os.path.dirname(jsonl_path) or ".", exist_ok=True)
+        self._f = open(jsonl_path, "a", buffering=1)
+        self._tb = None
+        if tensorboard_dir is not None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(tensorboard_dir)
+            except Exception:
+                self._tb = None  # TB optional; JSONL is the source of truth
+        self._episodes_total = 0
+
+    def write(self, step: int, metrics: Dict[str, float]) -> None:
+        row = {"global_step": int(step), "time": time.time()}
+        for k, v in metrics.items():
+            row[k] = float(np.asarray(v))
+        # reference channel time/episodes is the cumulative finished count
+        self._episodes_total += int(row.get("episodes/episodes", 0))
+        row["time/episodes"] = self._episodes_total
+        self._f.write(json.dumps(row) + "\n")
+        if self._tb is not None:
+            for k, v in row.items():
+                if k != "time" and isinstance(v, (int, float)):
+                    self._tb.add_scalar(k, v, step)
+
+    def write_config_snapshot(self, directory: str, **configs) -> None:
+        """One file per config object (reference writes env + rl snapshots)."""
+        os.makedirs(directory, exist_ok=True)
+        for name, cfg in configs.items():
+            d = dataclasses.asdict(cfg) if dataclasses.is_dataclass(cfg) else dict(cfg)
+            with open(os.path.join(directory, f"{name}.txt"), "w") as f:
+                f.write(repr(d))
+
+    def close(self) -> None:
+        self._f.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -1,0 +1,140 @@
+"""Eval harness tests: vectorized episode campaigns, artifact schema parity
+with the reference Tests/ layout, offline replotting, barplot tables."""
+
+import json
+import os
+import re
+
+import numpy as np
+import jax
+import pytest
+
+from drone2d_tpu.config import EnvConfig
+from drone2d_tpu.eval.artifacts import write_campaign
+from drone2d_tpu.eval.episode import run_episodes
+
+SMALL = dict(path_table_n=128, n_steps=64)
+
+
+@pytest.fixture(scope="module")
+def campaign():
+    cfg = EnvConfig(mode="test", scenario="large", **SMALL)
+    results = run_episodes(cfg, None, jax.random.PRNGKey(0), 6)
+    return cfg, results
+
+
+def test_run_episodes_shapes_and_invariants(campaign):
+    cfg, r = campaign
+    n = 6
+    assert r.traj.shape == (n, cfg.n_steps, 2)
+    assert r.angles.shape == (n, cfg.n_steps)
+    # every episode ends exactly one way or times out
+    assert np.all((r.success.astype(int) + r.fail.astype(int)) == 1)
+    assert np.all(r.time_steps >= 1) and np.all(r.time_steps <= cfg.n_steps)
+    assert np.all(r.traj_len >= 1) and np.all(r.traj_len <= cfg.n_steps)
+    assert np.all(np.isfinite(r.ape)) and np.all(np.isfinite(r.total_reward))
+    # collisions imply failure
+    assert np.all(r.fail[r.collision > 0])
+
+
+def test_flight_paths_screen_coords(campaign):
+    cfg, r = campaign
+    fps = r.flight_paths(cfg.screensize_y)
+    assert len(fps) == 6
+    i = int(np.argmax(r.traj_len))
+    assert len(fps[i]) == int(r.traj_len[i])
+    x, y_screen = fps[i][0]
+    # y flip: screen_y = h - world_y (drone_2d_env.py:986)
+    assert y_screen == pytest.approx(cfg.screensize_y - r.traj[i, 0, 1], abs=1e-4)
+
+
+def test_write_campaign_schema(campaign, tmp_path):
+    cfg, r = campaign
+    out = write_campaign(
+        cfg, r, agent="agent_7", agent_path="x.npz",
+        root=str(tmp_path / "Tests"), gif_root=str(tmp_path / "Gifs"),
+    )
+    assert sorted(os.listdir(out)) == [
+        "apes.npy", "collisions.npy", "flight_paths",
+        "large_7_results.txt", "rewards.npy", "time_spent.npy",
+    ]
+    txt = open(os.path.join(out, "large_7_results.txt")).read()
+    for label in ("Successes", "Fails", "Collisions", "Success rate",
+                  "Collision rate", "Average APE", "Average flight time",
+                  "Agent path"):
+        assert re.search(rf"^{label}: ", txt, re.M), label
+    sr = float(re.search(r"Success rate: ([\d.]+)", txt).group(1))
+    assert sr == pytest.approx(float(np.sum(r.success)) / 6)
+    with open(os.path.join(out, "flight_paths")) as f:
+        fps = json.load(f)
+    assert len(fps) == 6
+    # overlay plot + gif
+    plots = os.path.join(os.path.dirname(out), "plots")
+    assert os.listdir(plots) == ["large_7.png"]
+    assert os.path.exists(tmp_path / "Gifs" / "agent_7" / "large.gif")
+    # second campaign for the same scenario bumps test_k (main.py:297-302)
+    out2 = write_campaign(
+        cfg, r, agent="agent_7", agent_path="x.npz",
+        root=str(tmp_path / "Tests"), gif_root=None,
+    )
+    assert "test_1" in out2 and "test_0" in out
+
+
+def test_replotting_roundtrip(campaign, tmp_path):
+    cfg, r = campaign
+    out = write_campaign(
+        cfg, r, agent="agent_9", agent_path="x.npz",
+        root=str(tmp_path / "Tests"), gif_root=None,
+    )
+    from drone2d_tpu.eval.replotting import replot
+
+    png = tmp_path / "replot.png"
+    replot(out, "large", str(png))
+    assert png.exists() and png.stat().st_size > 1000
+
+
+def test_stage_scenario_episodes():
+    cfg = EnvConfig(mode="curriculum", scenario="stage_3", **SMALL)
+    r = run_episodes(cfg, None, jax.random.PRNGKey(1), 4)
+    assert np.all((r.success.astype(int) + r.fail.astype(int)) == 1)
+
+
+def test_barplot_tables_match_reference():
+    """The mirrored tables must equal barplots.py:6-29 (spot checks from
+    BASELINE.md)."""
+    from drone2d_tpu.eval.barplots import SCENARIO_DATA, STAGES_DATA
+
+    s = SCENARIO_DATA
+    assert s["scenario"][3] == "S-parallel"
+    assert s["reactive"]["SR"] == [88, 71, 55, 3, 28, 71, 0]
+    assert s["static"]["AAPE"][5] == 44
+    assert STAGES_DATA["reactive"]["SR"] == [100, 96, 94, 48, 49]
+
+
+def test_load_campaign_data(campaign, tmp_path):
+    cfg, r = campaign
+    write_campaign(
+        cfg, r, agent="agent_3", agent_path="x.npz",
+        root=str(tmp_path / "Tests"), gif_root=None,
+    )
+    from drone2d_tpu.eval.barplots import load_campaign_data
+
+    data = load_campaign_data(str(tmp_path / "Tests"), "agent_3")
+    assert data["scenario"] == ["large"]
+    assert data["agent"]["SR"][0] == pytest.approx(
+        100 * float(np.sum(r.success)) / 6
+    )
+
+
+def test_param_npz_roundtrip(tmp_path):
+    from drone2d_tpu.models.policy import (
+        flat_dict_to_params, init_actor_critic, params_to_flat_dict,
+    )
+
+    params = init_actor_critic(jax.random.PRNGKey(0), 27, 2)
+    flat = {k: np.asarray(v) for k, v in params_to_flat_dict(params).items()}
+    np.savez(tmp_path / "p.npz", **flat)
+    with np.load(tmp_path / "p.npz") as z:
+        restored = flat_dict_to_params(dict(z))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

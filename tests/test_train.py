@@ -1,0 +1,70 @@
+"""Training driver + checkpoint/resume tests (SURVEY.md §5.3-5.4)."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from drone2d_tpu.config import EnvConfig, PPOConfig, TrainConfig
+from drone2d_tpu.learn.ppo import PPOLearner
+from drone2d_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+SMALL_ENV = dict(path_table_n=128, n_steps=64)
+SMALL_PPO = dict(n_steps=8, num_minibatches=4, n_epochs=2)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    learner = PPOLearner(EnvConfig(**SMALL_ENV), PPOConfig(**SMALL_PPO), num_envs=8)
+    state = jax.jit(learner.init)(jax.random.PRNGKey(0))
+    state, _ = learner.update_jit(state)
+
+    step = save_checkpoint(str(tmp_path / "ckpt"), state, wait=True)
+    assert step == 8 * 8
+
+    restored, rstep = restore_checkpoint(
+        str(tmp_path / "ckpt"), learner, jax.random.PRNGKey(1)
+    )
+    assert rstep == step
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the restored state trains on
+    state2, metrics = learner.update_jit(restored)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.global_step) == 2 * 8 * 8
+
+
+def test_train_cli_end_to_end(tmp_path):
+    from drone2d_tpu.train import train
+
+    ckpt = str(tmp_path / "logs")
+    train(
+        TrainConfig(
+            total_timesteps=128, num_envs=8, checkpoint_every_steps=64,
+            checkpoint_dir=ckpt, metrics_path=f"{ckpt}/metrics.jsonl",
+        ),
+        EnvConfig(**SMALL_ENV),
+        PPOConfig(**SMALL_PPO),
+    )
+    assert os.path.exists(f"{ckpt}/new_agent.npz")
+    rows = [json.loads(l) for l in open(f"{ckpt}/metrics.jsonl")]
+    assert rows and "episodes/avg_reward" in rows[-1]
+    assert rows[-1]["global_step"] == 128
+    # config snapshots written separately (not overwriting each other —
+    # the reference bug at main.py:170-174 is not replicated)
+    assert os.path.exists(f"{ckpt}/env_train_config.txt")
+    assert os.path.exists(f"{ckpt}/rl_config.txt")
+
+    # resume continues from the saved step
+    train(
+        TrainConfig(
+            total_timesteps=192, num_envs=8, checkpoint_every_steps=64,
+            checkpoint_dir=ckpt, metrics_path=f"{ckpt}/metrics.jsonl",
+        ),
+        EnvConfig(**SMALL_ENV),
+        PPOConfig(**SMALL_PPO),
+        resume=True,
+    )
+    rows = [json.loads(l) for l in open(f"{ckpt}/metrics.jsonl")]
+    assert rows[-1]["global_step"] == 192
