@@ -96,10 +96,13 @@ class EnvConfig:
     max_wps: int = 16              # ≥ any scenario's waypoint count (large: 14)
     max_obs: int = 64              # ≥ any scenario's obstacle count (S_corridor: 58)
     max_curriculum_obs: int = 18   # cap for stage-5 n~N(1,4) draw (≈+4σ)
-    path_table_n: int = 512        # dense closest-point table resolution
-    # closest-point refine: 0 = one-shot parabolic interpolation (hot-loop
-    # default; zero serial path evals), >0 = that many golden-section
-    # iterations for fminbound-tight conformance runs (ops/path.py closest_u)
+    # closest-point search (ops/path.py closest_u): a dense arc table of
+    # path_table_n samples + parabolic refine.  fine_refine_points=0 refines
+    # directly on the table (pair with a fine table); R>0 rescans the winning
+    # bracket with R parallel path evals (allows a 4x coarser table).
+    # golden_iters>0 switches to fminbound-tight golden-section (parity runs).
+    path_table_n: int = 2048
+    fine_refine_points: int = 5
     golden_iters: int = 0
     obstacle_attempts: int = 8     # rejection-sampling attempts per obstacle
 

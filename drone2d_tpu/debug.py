@@ -80,6 +80,16 @@ def main(argv=None) -> None:
         for event in pygame.event.get():
             if event.type == pygame.QUIT:
                 running = False
+            elif event.type == pygame.MOUSEBUTTONDOWN and cfg.change_target:
+                # click-to-retarget (reference event_handler.py:5-13; that
+                # code hard-codes `800 - y` against a 1300-px screen — a
+                # stale-constant quirk we fix by using the real height)
+                mx, my = event.pos
+                state = state._replace(
+                    target=jnp.asarray(
+                        [float(mx), cfg.screensize_y - float(my)], jnp.float32
+                    )
+                )
         keys = pygame.key.get_pressed()
         if keys[pygame.K_ESCAPE]:
             running = False

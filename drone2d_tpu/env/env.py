@@ -91,7 +91,11 @@ def _observe(
     s_vel, c_vel = jnp.sin(vel_angle_b), jnp.cos(vel_angle_b)
 
     # --- path queries (:729-749); one closest-u search reused for both -----
-    u_star = jpath.closest_u(pd, body.pos, golden_iters=cfg.golden_iters)
+    u_star = jpath.closest_u(
+        pd, body.pos,
+        golden_iters=cfg.golden_iters,
+        fine_points=cfg.fine_refine_points,
+    )
     cp = jpath.path_point(pd, u_star)
     la = jpath.lookahead_point_from_u(pd, u_star, cfg.lookahead)
 

@@ -220,16 +220,29 @@ def make_path(
     return pd._replace(table_u=table_u, table_xy=table_xy)
 
 
-def closest_u(pd: PathData, position: jnp.ndarray, *, golden_iters: int = 0) -> jnp.ndarray:
+def closest_u(
+    pd: PathData,
+    position: jnp.ndarray,
+    *,
+    golden_iters: int = 0,
+    fine_points: int = 0,
+) -> jnp.ndarray:
     """argmin_u |path(u) - position| over [-margin, L+margin].
 
     Replaces the reference's per-step scipy fminbound (predef_path.py:246-248).
-    Fast path (golden_iters=0, the hot-loop default): dense table argmin +
-    one-shot parabolic interpolation through the three bracketing samples —
-    the distance functional is piecewise-smooth, so near its minimum the
-    parabola nails u* to O(du^2) with ZERO extra path evaluations and zero
-    sequential dependencies (pure VPU math; the golden-section alternative
-    costs `iters` serial path evals per step, each a fusion barrier).
+    Fast paths (golden_iters=0, the hot-loop default), all data-parallel with
+    zero serial chains:
+
+    * fine_points=0: dense table argmin + one-shot parabolic interpolation
+      through the three bracketing TABLE samples (no extra path evals at
+      all).  Accuracy ~du/2 at worst (derivative kinks at segment
+      boundaries); pair with a fine table (EnvConfig.path_table_n=2048 ->
+      du~0.55 px) — the fewest, largest, most fusion-friendly ops.
+    * fine_points=R>0: additionally rescan the winning bracket with R
+      path evaluations at 2*du/(R-1) spacing and parabola-fit the best
+      fine triple — same accuracy with a 4x coarser table, trading table
+      bandwidth for branchy polynomial evals.
+
     Parity path (golden_iters>0): additionally run that many golden-section
     iterations on the 2-cell bracket for fminbound-tight conformance runs.
     """
@@ -248,14 +261,16 @@ def closest_u(pd: PathData, position: jnp.ndarray, *, golden_iters: int = 0) -> 
 
     du = (pd.table_u[-1] - pd.table_u[0]) / (T - 1)
 
+    if golden_iters <= 0 and fine_points <= 0:
+        fa, f0, fb = dist2[im], dist2[i0], dist2[ip]
+        denom = fa - 2.0 * f0 + fb
+        offset = jnp.where(jnp.abs(denom) < _EPS, 0.0, 0.5 * du * (fa - fb) / denom)
+        u_star = u0 + jnp.clip(offset, -du, du)
+        u_star = jnp.where((i0 == 0) | (i0 == T - 1), u0, u_star)
+        return jnp.clip(u_star, pd.table_u[0], pd.table_u[-1])
+
     if golden_iters <= 0:
-        # Two-stage refine, all evals data-parallel (no serial chain):
-        # 1) 17-point fine scan at du/8 spacing across the winning bracket
-        #    (the distance functional can have a derivative kink at segment
-        #    boundaries — worst at the reference's u<0 negative-index wrap —
-        #    which defeats a single parabola at du spacing);
-        # 2) parabolic interpolation through the best fine triple.
-        R = 17
+        R = fine_points
         fine_u = u0 + jnp.linspace(-du, du, R)
         fine_f = jax.vmap(f)(fine_u)
         j = jnp.clip(jnp.argmin(fine_f), 1, R - 2)

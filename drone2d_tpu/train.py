@@ -95,10 +95,17 @@ def train(
         while True:
             state, metrics = upd(state)
             n_updates += 1
+            if n_updates == 1:
+                # first update is dominated by XLA compilation; restart the
+                # throughput clock so steps/s reflects steady state
+                jax.block_until_ready(metrics["loss"])
+                t0 = time.perf_counter()
             gs = int(np.asarray(jax.device_get(metrics["global_step"])))
             if n_updates % train_cfg.log_every_updates == 0:
                 m = {k: float(np.asarray(v)) for k, v in jax.device_get(metrics).items()}
-                rate = steps_per_update * n_updates / (time.perf_counter() - t0)
+                rate = steps_per_update * max(n_updates - 1, 1) / max(
+                    time.perf_counter() - t0, 1e-9
+                )
                 m["throughput/env_steps_per_s"] = rate
                 writer.write(gs, m)
                 print(
