@@ -101,8 +101,11 @@ class EnvConfig:
     # directly on the table (pair with a fine table); R>0 rescans the winning
     # bracket with R parallel path evals (allows a 4x coarser table).
     # golden_iters>0 switches to fminbound-tight golden-section (parity runs).
-    path_table_n: int = 2048
-    fine_refine_points: int = 5
+    # Defaults (512-sample table + 17-point rescan) are the benchmarked
+    # fast-and-accurate hot-loop config; 2048+5 trades table build time for
+    # slightly cheaper steps and suits long-episode eval runs.
+    path_table_n: int = 512
+    fine_refine_points: int = 17
     golden_iters: int = 0
     obstacle_attempts: int = 8     # rejection-sampling attempts per obstacle
 
