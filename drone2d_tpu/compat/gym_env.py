@@ -1,0 +1,162 @@
+"""Drop-in single-env adapter with the reference's gym 0.21 surface.
+
+The reference publishes `Drone2dEnv(gym.Env)` with the OLD gym API
+(`drone_2d_env.py:394,775,908,914`): `reset() -> obs`,
+`step(a) -> (obs, reward, done, info)`, `render()`, `close()`, plus
+`observation_space`/`action_space` Box[-1,1] (:155-162).  Anyone migrating
+from the reference gets the identical interface here — numpy in/out, the
+jitted TPU env underneath, host-side rendering on demand.
+
+For throughput use the batched native API (`Drone2DEnv` /
+`PPOLearner`) — this adapter exists for interface parity, SB3-style
+scripts, and notebooks.  A `gymnasium` 5-tuple variant is exposed via
+`step_gymnasium` and `reset_seeded`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from drone2d_tpu.config import EnvConfig
+from drone2d_tpu.env.env import ACT_DIM, OBS_DIM, Drone2DEnv
+
+
+class _Box:
+    """Minimal Box space (keeps the adapter importable without gym installed;
+    gym/gymnasium Box duck-compatible: low/high/shape/dtype/sample/contains)."""
+
+    def __init__(self, low: float, high: float, shape: Tuple[int, ...]):
+        self.low = np.full(shape, low, np.float32)
+        self.high = np.full(shape, high, np.float32)
+        self.shape = shape
+        self.dtype = np.float32
+
+    def sample(self, rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        rng = rng or np.random.default_rng()
+        return rng.uniform(self.low, self.high).astype(np.float32)
+
+    def contains(self, x) -> bool:
+        x = np.asarray(x)
+        return x.shape == self.shape and bool(
+            np.all(x >= self.low - 1e-6) and np.all(x <= self.high + 1e-6)
+        )
+
+
+class Drone2dGymEnv:
+    """Single-env, host-facing wrapper of the pure-function env."""
+
+    metadata = {"render.modes": ["human", "rgb_array"]}
+
+    def __init__(self, seed: int = 0, global_step: int = 0, **config_overrides):
+        self.cfg = EnvConfig(**config_overrides)
+        self._env = Drone2DEnv(self.cfg)
+        self._step = jax.jit(self._env.step)
+        self._reset = jax.jit(lambda k: self._env.reset(k, global_step))
+        self._key = jax.random.PRNGKey(seed)
+        self._state = None
+        self._renderer = None
+        self._screen = None
+        self._trail: list = []
+
+        self.observation_space = _Box(-1.0, 1.0, (OBS_DIM,))
+        self.action_space = _Box(-1.0, 1.0, (ACT_DIM,))
+
+    # -- gym 0.21 surface ----------------------------------------------------
+
+    def seed(self, seed: int) -> None:
+        self._key = jax.random.PRNGKey(seed)
+
+    def reset(self) -> np.ndarray:
+        self._key, k = jax.random.split(self._key)
+        self._state, obs = self._reset(k)
+        self._trail = []
+        return np.asarray(obs)
+
+    def step(self, action) -> Tuple[np.ndarray, float, bool, dict]:
+        if self._state is None:
+            raise RuntimeError("call reset() before step()")
+        a = np.clip(np.asarray(action, np.float32), -1.0, 1.0)
+        out = self._step(self._state, a)
+        self._state = out.state
+        info = {k: np.asarray(v).item() for k, v in out.info.items()}
+        return (
+            np.asarray(out.obs),
+            float(out.reward),
+            bool(out.done),
+            info,
+        )
+
+    def render(self, mode: str = "human"):
+        import os
+
+        from drone2d_tpu.eval.render import SceneRenderer, _flip
+
+        if self._renderer is None:
+            self._renderer = SceneRenderer(self.cfg)
+        r = self._renderer
+        state = self._state
+        path_coords = obstacles = None
+        if self.cfg.mode != "test":
+            from drone2d_tpu.utils.host_path import HostQPMI
+
+            n = int(np.asarray(state.path.n_wps))
+            path_coords = HostQPMI(np.asarray(state.path.wps)[:n]).coords(100)
+            obstacles = (
+                np.asarray(state.obstacles.xy),
+                np.asarray(state.obstacles.r),
+                np.asarray(state.obstacles.mask),
+            )
+        pos = np.asarray(state.body.pos)
+        self._trail.append((float(pos[0]), _flip(float(pos[1]), self.cfg.screensize_y)))
+        r.draw_scene(path_coords, obstacles)
+        if len(self._trail) > 2:
+            r.draw_flight_path(self._trail, (16, 19, 97))
+        r.draw_drone(pos, float(np.asarray(state.body.angle)))
+
+        if mode == "rgb_array":
+            return r.frame()
+        import pygame
+
+        if self._screen is None:
+            os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+            pygame.display.init()
+            self._screen = pygame.display.set_mode(
+                (int(self.cfg.screensize_x), int(self.cfg.screensize_y))
+            )
+        self._screen.blit(r.surface, (0, 0))
+        pygame.display.flip()
+        return None
+
+    def close(self) -> None:
+        if self._screen is not None:
+            import pygame
+
+            pygame.display.quit()
+            self._screen = None
+
+    # -- gymnasium-style variants -------------------------------------------
+
+    def reset_seeded(self, *, seed: Optional[int] = None):
+        if seed is not None:
+            self.seed(seed)
+        return self.reset(), {}
+
+    def step_gymnasium(self, action):
+        obs, reward, done, info = self.step(action)
+        truncated = bool(info["env_steps"] >= self.cfg.n_steps) and done
+        terminated = done and not truncated
+        return obs, reward, terminated, truncated, info
+
+
+def make(scenario: Optional[str] = None, **overrides) -> Drone2dGymEnv:
+    """gym.make-style constructor: make('corridor') or make() for curriculum
+    (reference registers 'drone-2d-custom-v0' ids in main.py:138-154)."""
+    if scenario is not None:
+        from drone2d_tpu.eval.run import scenario_config
+
+        cfg = scenario_config(scenario)
+        overrides = {**dict(mode=cfg.mode, scenario=cfg.scenario), **overrides}
+    return Drone2dGymEnv(**overrides)

@@ -1,0 +1,81 @@
+"""Training-quality seed sweep + evaluation campaign.
+
+The reference's published numbers come from hand-picking the best of ~20
+training runs (ppo_agents/ holds ~80 checkpoints across runs; the three
+best — run17/19/20 — are enshrined in best_models_config_and_res/).  This
+script reproduces that methodology at TPU speed: several seeds trained
+end-to-end, each evaluated on the full 12-scenario suite, summaries written
+to results/.
+
+    python scripts/sweep.py --out results/sweep1 --seeds 17 19 20 \
+        --total-timesteps 150000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", required=True)
+    p.add_argument("--seeds", type=int, nargs="+", default=[17, 19, 20])
+    p.add_argument("--total-timesteps", type=int, default=150_000_000)
+    p.add_argument("--num-envs", type=int, default=1024)
+    p.add_argument("--n-steps", type=int, default=128)
+    p.add_argument("--num-minibatches", type=int, default=64)
+    p.add_argument("--eval-episodes", type=int, default=100)
+    args = p.parse_args()
+
+    from drone2d_tpu.config import ALL_SCENARIOS, EnvConfig, PPOConfig, TrainConfig
+    from drone2d_tpu.eval.run import evaluate
+    from drone2d_tpu.train import train
+
+    os.makedirs(args.out, exist_ok=True)
+    for seed in args.seeds:
+        run_dir = os.path.join(args.out, f"seed_{seed}")
+        t0 = time.time()
+        train(
+            TrainConfig(
+                total_timesteps=args.total_timesteps,
+                num_envs=args.num_envs,
+                seed=seed,
+                checkpoint_every_steps=max(args.total_timesteps // 4, 1),
+                checkpoint_dir=run_dir,
+                metrics_path=os.path.join(run_dir, "metrics.jsonl"),
+                log_every_updates=20,
+            ),
+            EnvConfig(),
+            PPOConfig(n_steps=args.n_steps, num_minibatches=args.num_minibatches),
+        )
+        train_s = time.time() - t0
+
+        summaries = []
+        for scen in ALL_SCENARIOS:
+            summaries.append(
+                evaluate(
+                    os.path.join(run_dir, "new_agent.npz"), scen,
+                    args.eval_episodes, seed=seed,
+                    out_root=os.path.join(run_dir, "Tests"), gif_root=None,
+                    agent_name=f"agent_s{seed}",
+                )
+            )
+        with open(os.path.join(run_dir, "summary.json"), "w") as f:
+            json.dump(
+                {"seed": seed, "train_seconds": train_s,
+                 "total_timesteps": args.total_timesteps,
+                 "scenarios": summaries},
+                f, indent=1,
+            )
+        mean_sr = sum(s["success_rate"] for s in summaries) / len(summaries)
+        print(f"=== seed {seed}: mean SR {mean_sr:.3f}  ({train_s:.0f}s train)")
+
+
+if __name__ == "__main__":
+    main()
