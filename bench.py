@@ -28,6 +28,9 @@ BASELINE = 1_000_000.0  # env-steps/s target (BASELINE.json)
 
 
 def main() -> None:
+    from drone2d_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     env_cfg = EnvConfig()
     learner = PPOLearner(env_cfg, PPOConfig(), NUM_ENVS)
     state = jax.jit(learner.init)(jax.random.PRNGKey(0))

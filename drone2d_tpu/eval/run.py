@@ -122,6 +122,9 @@ def evaluate(
 
 
 def main(argv=None) -> None:
+    from drone2d_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--agent", required=True,
                    help=".npz params, orbax checkpoint dir, or 'random'")

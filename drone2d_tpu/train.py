@@ -135,6 +135,9 @@ def train(
 
 
 def main(argv=None) -> None:
+    from drone2d_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     args = build_parser().parse_args(argv)
     train(
         _collect(args, "", TrainConfig),

@@ -33,6 +33,9 @@ def main() -> None:
     p.add_argument("--eval-episodes", type=int, default=100)
     args = p.parse_args()
 
+    from drone2d_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     from drone2d_tpu.config import ALL_SCENARIOS, EnvConfig, PPOConfig, TrainConfig
     from drone2d_tpu.eval.run import evaluate
     from drone2d_tpu.train import train
