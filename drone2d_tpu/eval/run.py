@@ -31,9 +31,10 @@ from drone2d_tpu.eval.episode import run_episodes
 from drone2d_tpu.models.policy import ActorCriticParams, flat_dict_to_params
 
 
-def load_params(path: str) -> Optional[ActorCriticParams]:
-    """Load policy params from a train-CLI .npz or an orbax checkpoint dir.
-    Returns None for the literal 'random' (random-policy baseline)."""
+def load_params(path: str, step: Optional[int] = None) -> Optional[ActorCriticParams]:
+    """Load policy params from a train-CLI .npz or an orbax checkpoint dir
+    (optionally at a specific saved step).  Returns None for the literal
+    'random' (random-policy baseline)."""
     if path == "random":
         return None
     if path.endswith(".npz"):
@@ -43,7 +44,7 @@ def load_params(path: str) -> Optional[ActorCriticParams]:
     import orbax.checkpoint as ocp
 
     mgr = ocp.CheckpointManager(os.path.abspath(path))
-    step = mgr.latest_step()
+    step = mgr.latest_step() if step is None else step
     if step is None:
         raise FileNotFoundError(f"no checkpoint under {path!r}")
     payload = mgr.restore(step)
@@ -89,8 +90,9 @@ def evaluate(
     out_root: str = "Tests",
     gif_root: Optional[str] = "Gifs",
     agent_name: Optional[str] = None,
+    checkpoint_step: Optional[int] = None,
 ) -> dict:
-    params = load_params(agent_path)
+    params = load_params(agent_path, checkpoint_step)
     cfg = scenario_config(scenario)
     results = run_episodes(
         cfg, params, jax.random.PRNGKey(seed), episodes,
@@ -137,6 +139,8 @@ def main(argv=None) -> None:
     p.add_argument("--gif-root", default="Gifs")
     p.add_argument("--no-gif", action="store_true")
     p.add_argument("--agent-name", default=None)
+    p.add_argument("--checkpoint-step", type=int, default=None,
+                   help="orbax checkpoint step to load (default: latest)")
     args = p.parse_args(argv)
 
     scenarios = ALL_SCENARIOS if args.scenario == "all" else (args.scenario,)
@@ -147,6 +151,7 @@ def main(argv=None) -> None:
             out_root=args.out_root,
             gif_root=None if args.no_gif else args.gif_root,
             agent_name=args.agent_name,
+            checkpoint_step=args.checkpoint_step,
         )
 
 

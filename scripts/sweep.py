@@ -31,6 +31,10 @@ def main() -> None:
     p.add_argument("--n-steps", type=int, default=128)
     p.add_argument("--num-minibatches", type=int, default=64)
     p.add_argument("--eval-episodes", type=int, default=100)
+    p.add_argument(
+        "--env", action="append", default=[], metavar="KEY=VALUE",
+        help="EnvConfig override, e.g. --env PP_rew_max=3.5 (repeatable)",
+    )
     args = p.parse_args()
 
     from drone2d_tpu.utils.runtime import setup_runtime
@@ -39,6 +43,22 @@ def main() -> None:
     from drone2d_tpu.config import ALL_SCENARIOS, EnvConfig, PPOConfig, TrainConfig
     from drone2d_tpu.eval.run import evaluate
     from drone2d_tpu.train import train
+
+    import ast
+    from fractions import Fraction
+
+    def parse_value(v: str):
+        try:
+            return ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            return float(Fraction(v))  # allows '1/6'
+
+    overrides = {}
+    for kv in args.env:
+        k, v = kv.split("=", 1)
+        cur = getattr(EnvConfig(), k)
+        overrides[k] = v if isinstance(cur, str) else type(cur)(parse_value(v))
+    env_cfg = EnvConfig(**overrides)
 
     os.makedirs(args.out, exist_ok=True)
     for seed in args.seeds:
@@ -54,7 +74,7 @@ def main() -> None:
                 metrics_path=os.path.join(run_dir, "metrics.jsonl"),
                 log_every_updates=20,
             ),
-            EnvConfig(),
+            env_cfg,
             PPOConfig(n_steps=args.n_steps, num_minibatches=args.num_minibatches),
         )
         train_s = time.time() - t0
