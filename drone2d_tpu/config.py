@@ -91,6 +91,12 @@ class EnvConfig:
     # --- mode / scenario ---
     mode: str = "curriculum"       # 'curriculum' or 'test'
     scenario: str = "large"        # one of ALL_SCENARIOS, or 'None'
+    # Stage boundaries (drone_2d_env.py:326-362) are ABSOLUTE step counts
+    # sized for the reference's 9M-step budget; training N x longer would
+    # blow through the obstacle-intro stages in 9/N of the run.  This factor
+    # stretches the schedule (stage_from_step(step / scale)); set to
+    # total_timesteps/9e6 to keep the reference's stage proportions.
+    curriculum_scale: float = 1.0
 
     # --- framework capacity knobs (fixed shapes; not in the reference) ---
     max_wps: int = 16              # ≥ any scenario's waypoint count (large: 14)

@@ -303,8 +303,9 @@ class Drone2DEnv:
                 stage = jnp.int32(self._stage_override)
                 gs = jnp.float32(-1.0)  # reference sim_num = -1 for forced stages
             else:
-                stage = scenarios.stage_from_step(global_step)
-                gs = jnp.asarray(global_step, jnp.float32)
+                scaled = jnp.asarray(global_step, jnp.float32) / cfg.curriculum_scale
+                stage = scenarios.stage_from_step(scaled)
+                gs = scaled
             oxy, orad, omask = scenarios.curriculum_obstacles(k_obs, cfg, pd, stage, gs)
             obstacles = ObstacleSet(xy=oxy, r=orad, mask=omask)
             # stage 2 spawns anywhere on screen (:329-333); others at path start
