@@ -114,6 +114,10 @@ class EnvConfig:
     fine_refine_points: int = 17
     golden_iters: int = 0
     obstacle_attempts: int = 8     # rejection-sampling attempts per obstacle
+    # curriculum obstacle radius range (reference obstacles.py:74: U(10,50));
+    # widen for generalization to big obstacles like the 'large' scenario
+    obstacle_radius_min: float = 10.0
+    obstacle_radius_max: float = 50.0
 
     # --- physics constants (reference hard-codes; drone_2d_env.py / Drone.py) ---
     gravity_y: float = -1000.0     # drone_2d_env.py:185

@@ -265,16 +265,17 @@ def random_corner_waypoints(key: jax.Array, cfg: EnvConfig) -> jnp.ndarray:
     return jnp.concatenate([first[None], first[None] + jnp.cumsum(steps, 0)], 0)
 
 
-def _sample_near_path_obstacle(key, pd: jpath.PathData, std: float, attempts: int):
+def _sample_near_path_obstacle(key, pd: jpath.PathData, std: float, attempts: int,
+                               r_min: float = 10.0, r_max: float = 50.0):
     """One near-path obstacle via rejection sampling (obstacles.py:63-81):
-    u ~ U(0.2L, 0.9L), lateral offset ~ N(0, std), radius ~ U(10, 50);
-    accept when |offset| > radius + 10.  Fixed `attempts` draws; if none
-    accepts (p ~ (1-0.55)^attempts), the last draw's offset is pushed just
-    outside the margin."""
+    u ~ U(0.2L, 0.9L), lateral offset ~ N(0, std), radius ~ U(r_min, r_max)
+    (reference: U(10, 50)); accept when |offset| > radius + 10.  Fixed
+    `attempts` draws; if none accepts (p ~ (1-0.55)^attempts), the last
+    draw's offset is pushed just outside the margin."""
     ku, kd, ks = jax.random.split(key, 3)
     u = jax.random.uniform(ku, (attempts,), minval=0.2 * pd.length, maxval=0.9 * pd.length)
     dist = std * jax.random.normal(kd, (attempts,))
-    size = jax.random.uniform(ks, (attempts,), minval=10.0, maxval=50.0)
+    size = jax.random.uniform(ks, (attempts,), minval=r_min, maxval=r_max)
 
     base = jax.vmap(lambda uu: jpath.path_point(pd, uu))(u)
     pa = jax.vmap(lambda uu: jpath.direction_angle(pd, uu))(u) - jnp.pi / 2
@@ -293,11 +294,12 @@ def _sample_near_path_obstacle(key, pd: jpath.PathData, std: float, attempts: in
     return pos, s_sel
 
 
-def _sample_on_path_obstacle(key, pd: jpath.PathData):
+def _sample_on_path_obstacle(key, pd: jpath.PathData,
+                             r_min: float = 10.0, r_max: float = 50.0):
     """One obstacle placed directly on the path (obstacles.py:82-85)."""
     ku, ks = jax.random.split(key)
     u = jax.random.uniform(ku, (), minval=0.2 * pd.length, maxval=0.9 * pd.length)
-    size = jax.random.uniform(ks, (), minval=10.0, maxval=50.0)
+    size = jax.random.uniform(ks, (), minval=r_min, maxval=r_max)
     return jpath.path_point(pd, u), size
 
 
@@ -318,9 +320,14 @@ def curriculum_obstacles(
     k_near, k_on, k_b, k_n5 = jax.random.split(key, 4)
 
     near_xy, near_r = jax.vmap(
-        lambda k: _sample_near_path_obstacle(k, pd, 100.0, cfg.obstacle_attempts)
+        lambda k: _sample_near_path_obstacle(
+            k, pd, 100.0, cfg.obstacle_attempts,
+            cfg.obstacle_radius_min, cfg.obstacle_radius_max,
+        )
     )(jax.random.split(k_near, m))
-    on_xy, on_r = _sample_on_path_obstacle(k_on, pd)
+    on_xy, on_r = _sample_on_path_obstacle(
+        k_on, pd, cfg.obstacle_radius_min, cfg.obstacle_radius_max
+    )
 
     # stage 3: p(step) chance of ONE near-path obstacle; 0.6 if forced stage
     chance3 = jnp.where(
