@@ -21,7 +21,6 @@ reference's design implies (SURVEY.md §2.3, §5.7).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
