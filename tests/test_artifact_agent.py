@@ -7,20 +7,24 @@ import numpy as np
 import jax
 import pytest
 
-ARTIFACT = os.path.join(
-    os.path.dirname(__file__), "..", "artifacts", "agent_s24", "new_agent.npz"
-)
+_ART_DIR = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+FLAGSHIPS = [
+    os.path.join(_ART_DIR, name, "new_agent.npz")
+    for name in ("agent_s24", "agent_s45")
+]
 
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(ARTIFACT), reason="flagship artifact not present"
+    not all(os.path.exists(p) for p in FLAGSHIPS),
+    reason="flagship artifacts not present",
 )
 
 
-def test_flagship_loads_and_flies_corridor():
+@pytest.mark.parametrize("artifact", FLAGSHIPS, ids=["s24", "s45"])
+def test_flagship_loads_and_flies_corridor(artifact):
     from drone2d_tpu.eval.episode import run_episodes
     from drone2d_tpu.eval.run import load_params, scenario_config
 
-    params = load_params(os.path.abspath(ARTIFACT))
+    params = load_params(os.path.abspath(artifact))
     cfg = scenario_config("corridor").replace(path_table_n=256)
     agent = run_episodes(cfg, params, jax.random.PRNGKey(0), 16)
     rand = run_episodes(cfg, None, jax.random.PRNGKey(0), 16)
