@@ -10,7 +10,7 @@ import pytest
 _ART_DIR = os.path.join(os.path.dirname(__file__), "..", "artifacts")
 FLAGSHIPS = [
     os.path.join(_ART_DIR, name, "new_agent.npz")
-    for name in ("agent_s24", "agent_s45")
+    for name in ("agent_s24", "agent_s45", "agent_s55")
 ]
 
 pytestmark = pytest.mark.skipif(
@@ -19,7 +19,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.mark.parametrize("artifact", FLAGSHIPS, ids=["s24", "s45"])
+@pytest.mark.parametrize("artifact", FLAGSHIPS, ids=["s24", "s45", "s55"])
 def test_flagship_loads_and_flies_corridor(artifact):
     from drone2d_tpu.eval.episode import run_episodes
     from drone2d_tpu.eval.run import load_params, scenario_config
