@@ -13,7 +13,7 @@ Jorgenlf/Drone-2d-custom-gym-env-for-reinforcement-learning
   env states on a chip and `shard_map` over a device mesh
   (`drone2d_tpu.parallel`),
 * stable-baselines3 PPO becomes an on-device PPO learner
-  (`drone2d_tpu.algo.ppo`).
+  (`drone2d_tpu.learn.ppo`).
 
 Everything on the device path is a pure function over fixed-shape pytrees:
 ``step(cfg, state, action) -> (state, obs, reward, done, info)``.

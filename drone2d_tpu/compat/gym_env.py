@@ -146,8 +146,12 @@ class Drone2dGymEnv:
 
     def step_gymnasium(self, action):
         obs, reward, done, info = self.step(action)
-        truncated = bool(info["env_steps"] >= self.cfg.n_steps) and done
-        terminated = done and not truncated
+        # terminated = a real MDP end (collision / reach-end / AA-angle);
+        # truncated = only the step cap fired.  Derived from the env's
+        # `terminal` info flag, so a collision exactly at the step cap is
+        # still reported as terminated.
+        terminated = done and bool(info["terminal"])
+        truncated = done and not terminated
         return obs, reward, terminated, truncated, info
 
 
@@ -160,3 +164,68 @@ def make(scenario: Optional[str] = None, **overrides) -> Drone2dGymEnv:
         cfg = scenario_config(scenario)
         overrides = {**dict(mode=cfg.mode, scenario=cfg.scenario), **overrides}
     return Drone2dGymEnv(**overrides)
+
+
+def register_gym_envs() -> list:
+    """Register real `drone2d_tpu/<scenario>-v0` env ids with gymnasium (or
+    classic gym >= 0.26) when one is installed — the parity surface for the
+    reference's `gym.envs.registration.register('drone-2d-custom-...')`
+    calls (main.py:138-154, 150-154, 213-217, 244-248).
+
+    Returns the list of ids registered this call ([] when no gym flavor is
+    importable or everything was already registered).  After it,
+    `gym.make("drone2d_tpu/corridor-v0")` yields a fully standard Env.
+    """
+    try:
+        import gymnasium as g
+    except ImportError:
+        try:
+            import gym as g  # classic gym, >=0.26 API assumed
+        except ImportError:
+            return []
+
+    class _Adapter(g.Env):
+        """gymnasium.Env shim over Drone2dGymEnv (5-tuple step API)."""
+
+        metadata = {"render_modes": ["rgb_array"], "render_fps": 60}
+
+        def __init__(self, scenario=None, render_mode=None, **overrides):
+            super().__init__()
+            self._e = make(scenario, **overrides)
+            self.render_mode = render_mode
+            self.observation_space = g.spaces.Box(
+                -1.0, 1.0, (OBS_DIM,), np.float32
+            )
+            self.action_space = g.spaces.Box(-1.0, 1.0, (ACT_DIM,), np.float32)
+
+        def reset(self, *, seed=None, options=None):
+            return self._e.reset_seeded(seed=seed)
+
+        def step(self, action):
+            return self._e.step_gymnasium(action)
+
+        def render(self):
+            return self._e.render("rgb_array")
+
+        def close(self):
+            self._e.close()
+
+    from drone2d_tpu.config import ALL_SCENARIOS
+
+    registered = []
+    specs = [("curriculum", None)] + [(s, s) for s in ALL_SCENARIOS]
+    for name, scenario in specs:
+        env_id = f"drone2d_tpu/{name}-v0"
+        if env_id in getattr(g.envs, "registry", {}):
+            continue
+        try:
+            g.register(
+                id=env_id,
+                entry_point=_Adapter,
+                kwargs={"scenario": scenario},
+                max_episode_steps=None,  # the env truncates itself at n_steps
+            )
+            registered.append(env_id)
+        except Exception:
+            pass  # id collision across repeat imports is fine
+    return registered

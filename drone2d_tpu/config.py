@@ -97,6 +97,15 @@ class EnvConfig:
     # stretches the schedule (stage_from_step(step / scale)); set to
     # total_timesteps/9e6 to keep the reference's stage proportions.
     curriculum_scale: float = 1.0
+    # Stage rehearsal (framework knob, not in the reference): with this
+    # per-episode probability, train on a uniformly random stage 1..5
+    # (forced-stage semantics, as the stage_k eval scenarios use) instead of
+    # the scheduled stage.  The reference trains >78% of its budget at
+    # stage 5 yet publishes per-stage success rates (barplots.py:19-29);
+    # rehearsal keeps the early-stage distributions (random spawn, single
+    # near-/on-path obstacle) in the data mix so the final agent doesn't
+    # forget them.  0.0 = reference schedule exactly.
+    stage_mix_prob: float = 0.0
 
     # --- framework capacity knobs (fixed shapes; not in the reference) ---
     max_wps: int = 16              # ≥ any scenario's waypoint count (large: 14)

@@ -281,7 +281,7 @@ class Drone2DEnv:
 
     def reset(self, key: jax.Array, global_step=0) -> Tuple[EnvState, jnp.ndarray]:
         cfg = self.cfg
-        k_path, k_obs, k_sx, k_sy, k_ang, k_throw = jax.random.split(key, 6)
+        k_path, k_obs, k_sx, k_sy, k_ang, k_throw, k_mix = jax.random.split(key, 7)
         angle = jax.random.uniform(k_ang, (), minval=-jnp.pi / 4, maxval=jnp.pi / 4)
 
         if cfg.mode == "test":
@@ -306,6 +306,13 @@ class Drone2DEnv:
                 scaled = jnp.asarray(global_step, jnp.float32) / cfg.curriculum_scale
                 stage = scenarios.stage_from_step(scaled)
                 gs = scaled
+                if cfg.stage_mix_prob > 0.0:
+                    # stage rehearsal: see EnvConfig.stage_mix_prob
+                    k_flip, k_stage = jax.random.split(k_mix)
+                    mix = jax.random.bernoulli(k_flip, cfg.stage_mix_prob)
+                    rand_stage = jax.random.randint(k_stage, (), 1, 6)
+                    stage = jnp.where(mix, rand_stage, stage)
+                    gs = jnp.where(mix, jnp.float32(-1.0), gs)
             oxy, orad, omask = scenarios.curriculum_obstacles(k_obs, cfg, pd, stage, gs)
             obstacles = ObstacleSet(xy=oxy, r=orad, mask=omask)
             # stage 2 spawns anywhere on screen (:329-333); others at path start
@@ -432,6 +439,10 @@ class Drone2DEnv:
             "n_successful_runs": jnp.where(r["end2"], 1, 0),
             "n_failed_runs": jnp.where(r["end1"] | r["end4"] | r["end5"], 1, 0),
             "total_reward": jnp.where(done, f32(total_reward), 0.0),
+            # MDP-terminal end (collision / reach-end / AA-angle) as opposed
+            # to the step-cap truncation end4 — lets gymnasium adapters report
+            # terminated vs truncated correctly even when both fire at once
+            "terminal": jnp.where(r["end1"] | r["end2"] | r["end5"], 1, 0),
         }
         return StepOutput(
             state=new_state,

@@ -317,7 +317,7 @@ def curriculum_obstacles(
     (xy (max_obs, 2), r (max_obs,), mask (max_obs,)).
     """
     m = cfg.max_curriculum_obs
-    k_near, k_on, k_b, k_n5 = jax.random.split(key, 4)
+    k_near, k_on, k_b3, k_b4, k_n5 = jax.random.split(key, 5)
 
     near_xy, near_r = jax.vmap(
         lambda k: _sample_near_path_obstacle(
@@ -337,8 +337,8 @@ def curriculum_obstacles(
     chance4 = jnp.where(
         jnp.asarray(global_step, jnp.float32) < 0, 1.0, stage4_spawn_chance(global_step)
     )
-    b3 = jax.random.bernoulli(k_b, chance3)
-    b4 = jax.random.bernoulli(k_b, chance4)
+    b3 = jax.random.bernoulli(k_b3, chance3)
+    b4 = jax.random.bernoulli(k_b4, chance4)
 
     # stage 5: n ~ N(1, 4); -3<n<0 -> 1; n<-3 -> 0; else ceil(n)
     # (the reference's float `while num < n` loop rounds positive n up)

@@ -29,6 +29,13 @@ PATH_COLOR = (0, 0, 0)
 OBSTACLE_COLOR = (67, 81, 116)  # pymunk debug-draw default-ish shape color
 FRAME_COLOR = (66, 135, 245)
 MOTOR_COLOR = (33, 33, 33)
+LOOKAHEAD_COLOR = (0, 150, 150)
+CLOSEST_PT_COLOR = (0, 0, 255)
+TARGET_COLOR = (255, 0, 0)
+DANGER_RED = (255, 0, 0)
+SAFE_GREEN = (0, 255, 0)
+WARN_ORANGE = (255, 165, 0)
+SHADE_RGBA = (90, 90, 110, 70)
 
 
 def red_blue_grad(x: float) -> Tuple[float, float, float]:
@@ -121,6 +128,177 @@ class SceneRenderer:
         """path is already in screen coords (reference flight_path format)."""
         if len(path) > 2:
             pygame.draw.aalines(self.surface, color, False, list(path), 1)
+
+    # -- live diagnostics (reference drone_2d_env.py:788-894) ----------------
+
+    def draw_spawn_rect(self, rect) -> None:
+        """Test-mode spawn rectangle outline (drone_2d_env.py:832-834).
+        `rect` is world-coords (xmin, ymin, xmax, ymax)."""
+        xmin, ymin, xmax, ymax = (float(v) for v in rect)
+        pygame.draw.rect(
+            self.surface, PATH_COLOR,
+            pygame.Rect(xmin, _flip(ymax, self.h), xmax - xmin, ymax - ymin), 2,
+        )
+
+    def draw_reward_text(self, info: dict) -> None:
+        """Per-step reward components as a top-left text column
+        (drone_2d_env.py:788-819; gated by render_text there and here)."""
+        font = pygame.font.SysFont("freesansbold", 22)
+        lines = [
+            (f"Total reward: {float(info['reward']):.2f}", (0, 0, 0)),
+            (f"Collision avoidance: {float(info['collision_avoidance_reward']):.2f}", (0, 0, 0)),
+            (f"Path adherence: {float(info['path_adherence']):.2f}", (0, 0, 0)),
+            (f"Path progression: {float(info['path_progression']):.2f}", (0, 0, 0)),
+            (f"Aggressive alpha: {float(info['agressive_alpha_reward']):.2f}", (0, 0, 0)),
+        ]
+        d_obs = float(info.get("dist_closest_obs", np.inf))
+        if np.isfinite(d_obs):
+            lines.append((f"Closest obs dist: {d_obs:.2f}", (150, 0, 0)))
+        for i, (txt, color) in enumerate(lines):
+            y = i * 16 + (10 if i == 5 else 0)  # obs-dist line offset, as ref
+            self.surface.blit(font.render(txt, True, color, BG), (0, y))
+
+    def draw_diagnostics(self, state, obs, cfg: Optional[EnvConfig] = None) -> None:
+        """Velocity / lookahead / nearest-obstacle vectors with the CA-state
+        color logic, closest-point + target dots, angle arcs, and motor-force
+        bars (drone_2d_env.py:838-894, color flags :496-523).
+
+        Everything is reconstructed host-side from the EnvState + the 27-D
+        observation — the same round-trip the reference's reward code does
+        (step :422-455), so the colors flip exactly when the CA reward fires.
+        """
+        # invm1to1 is plain arithmetic — works on host numpy scalars too
+        from drone2d_tpu.ops.transforms import invm1to1 as _inv
+
+        cfg = cfg or self.cfg
+        s, h = self.surface, float(self.h)
+        w_scr = cfg.screensize_x
+        obs = np.asarray(obs, np.float64)
+        pos = np.asarray(state.body.pos, np.float64)
+        vel = np.asarray(state.body.vel, np.float64)
+        alpha = float(np.asarray(state.body.angle))
+        target = np.asarray(state.target, np.float64)
+        two_pi = 2 * np.pi
+
+        def spt(p):  # world -> screen point
+            return (float(p[0]), _flip(float(p[1]), h))
+
+        def arc(radius, color, a0, a1, width=3):
+            # the reference passes world angles straight to pygame.draw.arc
+            # around the drone (:841,:858-868); same convention kept
+            rect = pygame.Rect(0, 0, 2 * radius, 2 * radius)
+            rect.center = spt(pos)
+            try:
+                pygame.draw.arc(s, color, rect, a0, a1, width)
+            except ValueError:
+                pass  # degenerate angle span
+
+        # angle round-trips exactly as the reward path (:433-445)
+        vel_angle = (np.arctan2(obs[17], obs[18]) + two_pi) % two_pi
+        la_angle = (np.arctan2(obs[23], obs[24]) + two_pi) % two_pi
+        cp = np.array([_inv(obs[19], 0.0, w_scr), _inv(obs[20], 0.0, cfg.screensize_y)])
+        la = np.array([_inv(obs[21], 0.0, w_scr), _inv(obs[22], 0.0, cfg.screensize_y)])
+
+        # nearest obstacle + CA state (:469-523)
+        oxy = np.asarray(state.obstacles.xy, np.float64)
+        orad = np.asarray(state.obstacles.r, np.float64)
+        omask = np.asarray(state.obstacles.mask, bool)
+        has_obs = bool(omask.any())
+        d_obs = _inv(obs[8], 0.0, cfg.screen_diag)
+        obs_angle = (np.arctan2(obs[9], obs[10]) + two_pi) % two_pi
+        angle_diff = abs(
+            np.rad2deg((obs_angle - vel_angle + np.pi) % two_pi - np.pi)
+        )
+        in_range = has_obs and d_obs < cfg.danger_range
+        draw_red_velocity = in_range and angle_diff < cfg.danger_angle
+
+        # closest point on path: blue dot (:842)
+        pygame.draw.circle(s, CLOSEST_PT_COLOR, spt(cp), 5)
+
+        # lookahead vector + dot + arc (:848-850)
+        pygame.draw.line(s, LOOKAHEAD_COLOR, spt(pos), spt(la), 4)
+        pygame.draw.circle(s, LOOKAHEAD_COLOR, spt(la), 5)
+        arc(100, LOOKAHEAD_COLOR, alpha, la_angle)
+
+        # velocity vector, red when the CA angle+range condition fires (:852-859)
+        vel_color = DANGER_RED if draw_red_velocity else PATH_COLOR
+        pygame.draw.line(s, vel_color, spt(pos), spt(pos + vel), 4)
+        arc(50, vel_color, alpha, vel_angle)
+
+        # nearest-obstacle vector: orange inside danger range, green outside
+        # (:861-868)
+        if has_obs:
+            d_center = np.where(
+                omask, np.hypot(*(oxy - pos).T) - orad, np.inf
+            )
+            nearest = oxy[int(np.argmin(d_center))]
+            obs_color = WARN_ORANGE if in_range else SAFE_GREEN
+            pygame.draw.line(s, obs_color, spt(pos), spt(nearest), 4)
+            arc(25, obs_color, alpha, obs_angle)
+
+        # motor-force bars: gray full-scale reference, red actual (:879-894)
+        c, sn = np.cos(alpha), np.sin(alpha)
+        R = np.array([[c, -sn], [sn, c]])
+        vscale = 0.05
+        for side, force in (
+            (-cfg.drone_radius, float(np.asarray(state.left_force))),
+            (cfg.drone_radius, float(np.asarray(state.right_force))),
+        ):
+            base = pos + R @ np.array([side, 0.0])
+            full = pos + R @ np.array([side, cfg.force_scale * vscale])
+            act = pos + R @ np.array([side, force * vscale])
+            pygame.draw.line(s, (179, 179, 179), spt(base), spt(full), 4)
+            pygame.draw.line(s, DANGER_RED, spt(base), spt(act), 4)
+
+        # target dot (:896)
+        pygame.draw.circle(s, TARGET_COLOR, spt(target), 5)
+
+    # -- drone shade trail (drone_2d_env.py:870-875, :416-419) ---------------
+
+    def reset_shades(self) -> None:
+        self._shades: list = []
+
+    def maybe_add_shade(self, pos, angle: float, shade_distance: float) -> None:
+        """Record a shade pose when the drone moved more than shade_distance
+        on either axis since the last one (drone_2d_env.py:416-419)."""
+        if not hasattr(self, "_shades"):
+            self._shades = []
+        x, y = float(pos[0]), float(pos[1])
+        if not self._shades:
+            self._shades.append((x, y, float(angle)))
+            return
+        lx, ly, _ = self._shades[-1]
+        if abs(x - lx) > shade_distance or abs(y - ly) > shade_distance:
+            self._shades.append((x, y, float(angle)))
+
+    def draw_shades(self) -> None:
+        """Translucent drone silhouettes at the recorded poses.  The
+        reference blits a rotated shade.png sprite (:870-875); we draw the
+        same 3-box silhouette as an alpha polygon layer instead of shipping
+        an image asset."""
+        if not getattr(self, "_shades", None):
+            return
+        cfg, h = self.cfg, float(self.h)
+        overlay = pygame.Surface((self.w, self.h), pygame.SRCALPHA)
+        hw, hh = cfg.drone_width / 2, cfg.drone_height / 4
+        m = cfg.drone_height / 2
+        for x, y, angle in self._shades:
+            c, sn = np.cos(angle), np.sin(angle)
+            R = np.array([[c, -sn], [sn, c]])
+
+            def poly(local):
+                world = (R @ np.asarray(local).T).T + np.array([x, y])
+                return [(float(px), _flip(float(py), h)) for px, py in world]
+
+            pygame.draw.polygon(
+                overlay, SHADE_RGBA, poly([(-hw, -hh), (-hw, hh), (hw, hh), (hw, -hh)])
+            )
+            for side in (-cfg.drone_radius, cfg.drone_radius):
+                pygame.draw.polygon(
+                    overlay, SHADE_RGBA,
+                    poly([(side - m, -m), (side - m, m), (side + m, m), (side + m, -m)]),
+                )
+        self.surface.blit(overlay, (0, 0))
 
     def draw_reward_colorbar(self) -> None:
         """The red-blue legend strip (main.py:387-397)."""

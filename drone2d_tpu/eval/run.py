@@ -68,6 +68,23 @@ def load_params(path: str, step: Optional[int] = None) -> Optional[ActorCriticPa
     )
 
 
+def _derive_agent_name(agent_path: str) -> str:
+    """Artifact directory name for an agent path.
+
+    `agent_<nr>`-style paths (the reference's Tests/<agent> convention) keep
+    that name; anything else (e.g. the train CLI's default `new_agent.npz`)
+    falls back to the full basename — previously `new_agent.npz` mangled to
+    'agent_agent'.  Directory paths (orbax checkpoints) use the directory
+    basename."""
+    import re
+
+    stem = os.path.basename(os.path.normpath(agent_path)).split(".")[0]
+    m = re.fullmatch(r"agent[_-](\w+)", stem)
+    if m:
+        return f"agent_{m.group(1)}"
+    return stem or "agent"
+
+
 def scenario_config(scenario: str, base: Optional[EnvConfig] = None) -> EnvConfig:
     """Env config for one scenario name, mirroring env_test_config derivation
     (rl_config.py:63-79): spatial scenarios -> mode='test'; stage_k ->
@@ -98,9 +115,7 @@ def evaluate(
         cfg, params, jax.random.PRNGKey(seed), episodes,
         deterministic=deterministic,
     )
-    agent = agent_name or (
-        "agent_" + os.path.basename(agent_path).split(".")[0].split("_")[-1]
-    )
+    agent = agent_name or _derive_agent_name(agent_path)
     out_dir = write_campaign(
         cfg, results, agent=agent, agent_path=agent_path,
         scenario=scenario, root=out_root, gif_root=gif_root,

@@ -73,20 +73,6 @@ class EpisodeStats(NamedTuple):
         z = jnp.float32(0.0)
         return EpisodeStats(z, z, z, z, z, z, z, jnp.zeros((7,), jnp.float32))
 
-    def merge(self, info: Dict[str, jnp.ndarray], done: jnp.ndarray) -> "EpisodeStats":
-        d = done.astype(jnp.float32)
-        comp = jnp.stack([jnp.sum(info[k] * d) for k in _COMPONENT_KEYS])
-        return EpisodeStats(
-            n_episodes=self.n_episodes + jnp.sum(d),
-            sum_length=self.sum_length + jnp.sum(info["env_steps"] * d),
-            sum_total_reward=self.sum_total_reward + jnp.sum(info["total_reward"] * d),
-            sum_ape=self.sum_ape + jnp.sum(info["APE"] * d),
-            n_success=self.n_success + jnp.sum(info["n_successful_runs"] * d),
-            n_fail=self.n_fail + jnp.sum(info["n_failed_runs"] * d),
-            n_collision=self.n_collision + jnp.sum(info["n_collisions"] * d),
-            sum_components=self.sum_components + comp,
-        )
-
     def summary(self) -> Dict[str, jnp.ndarray]:
         n = jnp.maximum(self.n_episodes, 1.0)
         out = {
@@ -109,7 +95,13 @@ class TrainState(NamedTuple):
     env_state: EnvState            # batched (leading dim = local num_envs)
     obs: jnp.ndarray               # (N, 27)
     rng: jax.Array
-    global_step: jnp.ndarray       # () int64-ish f32-safe int32 env-step counter
+    # Env-step counter as float32: incremented ONCE per rollout by
+    # n_steps*num_envs (a multiple of 2^k for the usual pow-2 batch shapes),
+    # so additions stay exact far past the int32 wrap at 2.1B — exact to
+    # ~1e12 steps for pow-2 increments, and in any case accurate to well
+    # under the num_envs granularity the curriculum clock can resolve.
+    # (int64 would need jax_enable_x64, which would poison every dtype.)
+    global_step: jnp.ndarray       # () float32 env-step counter
 
 
 class RolloutBatch(NamedTuple):
@@ -170,7 +162,7 @@ class PPOLearner:
             env_state=env_state,
             obs=obs,
             rng=k_rng,
-            global_step=jnp.int32(0),
+            global_step=jnp.float32(0.0),
         )
 
     # -- rollout -------------------------------------------------------------
@@ -191,7 +183,7 @@ class PPOLearner:
         )
 
         def step_fn(carry, _):
-            env_state, obs, rng, global_step = carry
+            env_state, obs, rng = carry
             rng, k_act = jax.random.split(rng)
             action, log_prob, value = sample_action(state.params, obs, k_act)
             clipped = jnp.clip(action, -1.0, 1.0)  # SB3 clips for the env only
@@ -199,15 +191,19 @@ class PPOLearner:
                 env_state, clipped, reset_state, reset_obs
             )
             stats_delta = (out.info, out.done)
-            carry = (out.state, out.obs, rng, global_step + self.step_increment)
+            carry = (out.state, out.obs, rng)
             ys = (obs, action, log_prob, value, out.reward, out.done, stats_delta)
             return carry, ys
 
-        (env_state, obs, rng, global_step), ys = jax.lax.scan(
+        (env_state, obs, rng), ys = jax.lax.scan(
             step_fn,
-            (state.env_state, state.obs, rollout_rng, state.global_step),
+            (state.env_state, state.obs, rollout_rng),
             None,
             length=cfg.n_steps,
+        )
+        # one exact add per rollout (see TrainState.global_step)
+        global_step = state.global_step + jnp.float32(
+            cfg.n_steps * self.step_increment
         )
         obs_t, actions, log_probs, values, rewards, dones, stats_seq = ys
 

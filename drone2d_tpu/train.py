@@ -80,7 +80,9 @@ def train(
 
     upd = shard_update(mesh, learner)
     writer = MetricsWriter(
-        train_cfg.metrics_path, tensorboard_dir=f"{train_cfg.checkpoint_dir}/tb"
+        train_cfg.metrics_path,
+        tensorboard_dir=f"{train_cfg.checkpoint_dir}/tb",
+        resume=resume,
     )
     writer.write_config_snapshot(
         train_cfg.checkpoint_dir,
@@ -101,6 +103,11 @@ def train(
                 jax.block_until_ready(metrics["loss"])
                 t0 = time.perf_counter()
             gs = int(np.asarray(jax.device_get(metrics["global_step"])))
+            # every update feeds the cumulative episode counter, even when
+            # this update's row is not logged (log_every_updates > 1)
+            writer.add_episodes(
+                int(np.asarray(jax.device_get(metrics["episodes/episodes"])))
+            )
             if n_updates % train_cfg.log_every_updates == 0:
                 m = {k: float(np.asarray(v)) for k, v in jax.device_get(metrics).items()}
                 rate = steps_per_update * max(n_updates - 1, 1) / max(

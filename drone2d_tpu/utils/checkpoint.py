@@ -92,6 +92,6 @@ def restore_checkpoint(
         env_state=env_state,
         obs=obs,
         rng=rng,
-        global_step=jax.numpy.int32(payload["global_step"]),
+        global_step=jax.numpy.float32(payload["global_step"]),
     )
     return state, int(payload["global_step"])

@@ -19,8 +19,28 @@ import numpy as np
 
 
 class MetricsWriter:
-    def __init__(self, jsonl_path: str, tensorboard_dir: Optional[str] = None):
+    def __init__(
+        self,
+        jsonl_path: str,
+        tensorboard_dir: Optional[str] = None,
+        *,
+        resume: bool = False,
+    ):
         os.makedirs(os.path.dirname(jsonl_path) or ".", exist_ok=True)
+        self._episodes_total = 0
+        if resume and os.path.exists(jsonl_path):
+            # seed the cumulative counter from the last row already on disk
+            # so time/episodes survives checkpoint-resume
+            with open(jsonl_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        try:
+                            self._episodes_total = int(
+                                json.loads(line).get("time/episodes", 0)
+                            )
+                        except json.JSONDecodeError:
+                            pass
         self._f = open(jsonl_path, "a", buffering=1)
         self._tb = None
         if tensorboard_dir is not None:
@@ -30,14 +50,24 @@ class MetricsWriter:
                 self._tb = SummaryWriter(tensorboard_dir)
             except Exception:
                 self._tb = None  # TB optional; JSONL is the source of truth
-        self._episodes_total = 0
+
+    def add_episodes(self, n: int) -> None:
+        """Accumulate finished-episode counts.  MUST be called for EVERY
+        update (not only logged ones) so the cumulative `time/episodes`
+        channel counts every episode, as the reference does per learner step
+        (tensorboardlogger.py:110)."""
+        self._episodes_total += int(n)
+
+    @property
+    def episodes_total(self) -> int:
+        return self._episodes_total
 
     def write(self, step: int, metrics: Dict[str, float]) -> None:
         row = {"global_step": int(step), "time": time.time()}
         for k, v in metrics.items():
             row[k] = float(np.asarray(v))
-        # reference channel time/episodes is the cumulative finished count
-        self._episodes_total += int(row.get("episodes/episodes", 0))
+        # reference channel time/episodes is the cumulative finished count,
+        # fed by add_episodes() every update
         row["time/episodes"] = self._episodes_total
         self._f.write(json.dumps(row) + "\n")
         if self._tb is not None:

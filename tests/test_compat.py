@@ -76,3 +76,54 @@ def test_step_before_reset_raises():
     env = make("large", path_table_n=128)
     with pytest.raises(RuntimeError):
         env.step([0.0, 0.0])
+
+
+def test_truncated_only_on_step_cap():
+    """gymnasium semantics: the step-cap end (end4) reports truncated; a real
+    MDP end (collision / reach / AA-angle) reports terminated — derived from
+    the env's `terminal` info flag, not inferred from the step count."""
+    # hover to the 5-step cap: truncated, not terminated
+    env = make("large", path_table_n=128, n_steps=5)
+    env.reset_seeded(seed=0)
+    for _ in range(5):
+        obs, r, terminated, truncated, info = env.step_gymnasium([0.0, 0.0])
+    assert truncated and not terminated
+
+    # spin until the AA-angle termination fires: terminated, not truncated
+    env2 = make("large", path_table_n=128, n_steps=500)
+    env2.reset_seeded(seed=0)
+    terminated = truncated = False
+    for _ in range(200):
+        obs, r, terminated, truncated, info = env2.step_gymnasium([1.0, -1.0])
+        if terminated or truncated:
+            break
+    assert terminated and not truncated
+
+
+def test_gym_registration():
+    """When gymnasium (or classic gym) is installed, real env ids register
+    (reference main.py:138-154).  Skipped when no gym flavor is present."""
+    try:
+        import gymnasium as g
+    except ImportError:
+        g = pytest.importorskip("gym", reason="neither gymnasium nor gym installed")
+
+    from drone2d_tpu.compat import register_gym_envs
+
+    register_gym_envs()
+    env = g.make("drone2d_tpu/corridor-v0", path_table_n=128, n_steps=16)
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (27,)
+    obs, reward, terminated, truncated, info = env.step([0.0, 0.0])
+    assert isinstance(reward, float) or hasattr(reward, "item")
+    env.close()
+
+
+def test_agent_name_derivation():
+    from drone2d_tpu.eval.run import _derive_agent_name
+
+    assert _derive_agent_name("logs/new_agent.npz") == "new_agent"
+    assert _derive_agent_name("somewhere/agent_19.npz") == "agent_19"
+    assert _derive_agent_name("agent-s63.npz") == "agent_s63"
+    assert _derive_agent_name("logs/ckpt/") == "ckpt"
+    assert _derive_agent_name("random") == "random"

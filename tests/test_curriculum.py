@@ -124,6 +124,51 @@ def test_random_corner_paths_start_in_corner():
         np.testing.assert_allclose(seg, cfg.path_segment_length, rtol=1e-5)
 
 
+def test_stage_schedule_64bit_safe():
+    """The curriculum clock is a float32 step count; it must keep working
+    far past the int32 wrap at 2.1B (VERDICT r1 weak #5)."""
+    f = scenarios.stage_from_step
+    assert int(f(jnp.float32(3e9))) == 5
+    assert int(f(jnp.float32(2**31 + 2**17))) == 5
+    # scaled schedules at billion-step budgets stay in range too
+    assert int(f(jnp.float32(3e9) / 400.0)) == 5
+    assert int(f(jnp.float32(3e8) / 400.0)) == 2
+
+
+def test_stage_mix_rehearses_all_stages():
+    """stage_mix_prob=1 at global_step 0 must produce obstacle-bearing
+    episodes (stages 3/4/5 drawn) AND obstacle-free ones (stages 1/2);
+    stage_mix_prob=0 at step 0 is pure stage 1 (reference schedule)."""
+    ks = jax.random.split(jax.random.PRNGKey(7), 64)
+
+    env0 = Drone2DEnv(CFG.replace(stage_mix_prob=0.0))
+    s0, _ = jax.jit(jax.vmap(lambda k: env0.reset(k, 0)))(ks)
+    counts0 = np.asarray(jnp.sum(s0.obstacles.mask, axis=-1))
+    assert np.all(counts0 == 0)
+
+    env1 = Drone2DEnv(CFG.replace(stage_mix_prob=1.0))
+    s1, _ = jax.jit(jax.vmap(lambda k: env1.reset(k, 0)))(ks)
+    counts1 = np.asarray(jnp.sum(s1.obstacles.mask, axis=-1))
+    # ~20% stage-4 (forced chance 1.0) + ~12% stage-3 + ~17% stage-5 draws
+    assert (counts1 > 0).mean() > 0.15
+    assert (counts1 == 0).mean() > 0.3
+    # rehearsal also re-enables stage-2 anywhere-spawn: some spawns far
+    # from the path start
+    d = np.linalg.norm(
+        np.asarray(s1.body.pos) - np.asarray(s1.path.wps[:, 0]), axis=-1
+    )
+    assert (d > 50).mean() > 0.05
+
+
+def test_stage_mix_never_applies_to_forced_stage_eval():
+    """Forced-stage eval scenarios (scenario='stage_k') ignore rehearsal —
+    the published per-stage benchmarks must stay pure."""
+    env = Drone2DEnv(CFG.replace(scenario="stage_1", stage_mix_prob=1.0))
+    ks = jax.random.split(jax.random.PRNGKey(8), 32)
+    s, _ = jax.jit(jax.vmap(lambda k: env.reset(k, 0)))(ks)
+    assert np.all(np.asarray(jnp.sum(s.obstacles.mask, axis=-1)) == 0)
+
+
 def test_stage2_spawns_anywhere_stage1_at_start():
     env = Drone2DEnv(CFG.replace(mode="curriculum"))
     # stage 1 (global_step 0): spawn at path start

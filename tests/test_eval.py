@@ -7,6 +7,7 @@ import re
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from drone2d_tpu.config import EnvConfig
@@ -138,3 +139,57 @@ def test_param_npz_roundtrip(tmp_path):
         restored = flat_dict_to_params(dict(z))
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_render_diagnostics_overlay(tmp_path):
+    """Headless smoke test of the live-diagnostics layer (VERDICT r1 next #3):
+    vectors/arcs/text/spawn-rect/shades render without error and actually
+    change pixels on the scene."""
+    from drone2d_tpu.config import EnvConfig
+    from drone2d_tpu.env.env import Drone2DEnv
+    from drone2d_tpu.eval.render import SceneRenderer
+
+    cfg = EnvConfig(
+        mode="test", scenario="large", path_table_n=128,
+        render_text=True, render_shade=True, shade_distance=10.0,
+    )
+    env = Drone2DEnv(cfg)
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    out = jax.jit(env.step)(state, jnp.array([0.3, 0.3]))
+
+    r = SceneRenderer(cfg)
+    r.reset_shades()
+    r.draw_scene()
+    base = r.frame().copy()
+    r.draw_spawn_rect(np.asarray(env._spawn_rect))
+    r.maybe_add_shade(np.asarray(out.state.body.pos),
+                      float(np.asarray(out.state.body.angle)), cfg.shade_distance)
+    # second pose far enough away to trigger a second shade
+    r.maybe_add_shade(np.asarray(out.state.body.pos) + 50.0, 0.5, cfg.shade_distance)
+    assert len(r._shades) == 2
+    r.draw_shades()
+    r.draw_drone(np.asarray(out.state.body.pos),
+                 float(np.asarray(out.state.body.angle)))
+    r.draw_diagnostics(out.state, out.obs)
+    r.draw_reward_text(out.info)
+    overlaid = r.frame()
+    assert overlaid.shape == base.shape
+    assert (overlaid != base).any()
+    r.save_png(str(tmp_path / "overlay.png"))
+    assert (tmp_path / "overlay.png").exists()
+
+
+def test_debug_viewer_policy_mode_headless(tmp_path):
+    """The live eval viewer (debug --agent, reference main.py:212-241) runs
+    headless end-to-end and records a GIF."""
+    import os
+
+    os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+    from drone2d_tpu import debug
+
+    gif = str(tmp_path / "eval.gif")
+    debug.main([
+        "--agent", "random", "--scenario", "large", "--max-frames", "6",
+        "--gif-out", gif, "--render-shade", "true", "--fps", "1000",
+    ])
+    assert os.path.exists(gif)
