@@ -7,10 +7,16 @@ TPU-native replacement for the reference's SubprocVecEnv process farm
 (reference main.py:183-190; BASELINE.md target: >=1e6 env-steps/s).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+`python bench.py --train` instead times the FULL quality-recipe PPO update
+(rollout + GAE + 10 epochs x 64 minibatches of SGD at 1024 envs x 128
+steps — the docs/RESULTS.md training recipe) and prints one
+train_steps_per_s JSON line.  `--all` prints both.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -26,11 +32,59 @@ CHUNK_T = 256          # steps per timed device program
 REPEATS = 8
 BASELINE = 1_000_000.0  # env-steps/s target (BASELINE.json)
 
+# the quality-recipe update shape (docs/RESULTS.md: 1024 envs x 128 steps,
+# 64 minibatches x 10 epochs = 640 SGD steps per update)
+TRAIN_NUM_ENVS = 1024
+TRAIN_PPO = dict(n_steps=128, num_minibatches=64, n_epochs=10)
+TRAIN_REPEATS = 5
+
+
+def bench_train() -> None:
+    """Time the full PPO update (rollout + GAE + minibatch SGD) exactly as
+    `train.py` runs it — one jitted program per update, no host logging."""
+    learner = PPOLearner(
+        EnvConfig(), PPOConfig(**TRAIN_PPO), TRAIN_NUM_ENVS
+    )
+    state = jax.jit(learner.init)(jax.random.PRNGKey(0))
+
+    # warmup / compile
+    state, metrics = learner.update_jit(state)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_REPEATS):
+        state, metrics = learner.update_jit(state)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    steps = TRAIN_REPEATS * TRAIN_NUM_ENVS * learner.cfg.n_steps
+    rate = steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_steps_per_s",
+                "value": round(rate, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(rate / BASELINE, 3),
+            }
+        )
+    )
+
 
 def main() -> None:
     from drone2d_tpu.utils.runtime import setup_runtime
 
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--train", action="store_true",
+                   help="time the full quality-recipe PPO update instead")
+    p.add_argument("--all", action="store_true", help="print both lines")
+    args = p.parse_args()
+
     setup_runtime()
+    if args.train or args.all:
+        bench_train()
+        if not args.all:
+            return
     env_cfg = EnvConfig()
     learner = PPOLearner(env_cfg, PPOConfig(), NUM_ENVS)
     state = jax.jit(learner.init)(jax.random.PRNGKey(0))

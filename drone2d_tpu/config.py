@@ -35,6 +35,10 @@ STAGE_SCENARIOS: Tuple[str, ...] = (
     "stage_5",
 )
 ALL_SCENARIOS: Tuple[str, ...] = TEST_SCENARIOS + STAGE_SCENARIOS
+# Framework-only extras, NOT part of the published 12-scenario suite:
+# 'parallel_boxes' exercises the Square/Rectangle box-obstacle port
+# (reference obstacles.py:20-45 — dead in its live path).
+EXTRA_SCENARIOS: Tuple[str, ...] = ("parallel_boxes",)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -70,7 +70,12 @@ def _observe(
     verts = geometry.frame_vertices(
         body.pos, alpha, cfg.drone_width / 2, cfg.drone_height / 4
     )
-    d_all = geometry.vertex_circle_distances(verts, obstacles.xy, obstacles.r)
+    if obstacles.half_wh is None:  # circles-only fast path
+        d_all = geometry.vertex_circle_distances(verts, obstacles.xy, obstacles.r)
+    else:
+        d_all = geometry.vertex_rounded_box_distances(
+            verts, obstacles.xy, obstacles.half_wh, obstacles.r
+        )
     d_masked = jnp.where(obstacles.mask, d_all, jnp.inf)
     n_obs = jnp.sum(obstacles.mask.astype(jnp.int32))
     k_obs = jnp.minimum(cfg.k_obs, n_obs)
@@ -274,6 +279,8 @@ class Drone2DEnv:
                 xy=jnp.asarray(geo.obs_xy),
                 r=jnp.asarray(geo.obs_r),
                 mask=jnp.asarray(geo.obs_mask),
+                half_wh=None if geo.obs_half_wh is None
+                else jnp.asarray(geo.obs_half_wh),
             )
             self._spawn_rect = jnp.asarray(geo.spawn_rect)
 
@@ -387,15 +394,27 @@ class Drone2DEnv:
             inertia=cfg.moment_of_inertia,
             arm=cfg.drone_radius,
         )
-        collided = geometry.any_collision(
-            body.pos,
-            body.angle,
-            cfg.drone_width / 2,
-            cfg.drone_height / 4,
-            state.obstacles.xy,
-            state.obstacles.r,
-            state.obstacles.mask,
-        )
+        if state.obstacles.half_wh is None:  # circles-only fast path
+            collided = geometry.any_collision(
+                body.pos,
+                body.angle,
+                cfg.drone_width / 2,
+                cfg.drone_height / 4,
+                state.obstacles.xy,
+                state.obstacles.r,
+                state.obstacles.mask,
+            )
+        else:
+            collided = geometry.any_collision_mixed(
+                body.pos,
+                body.angle,
+                cfg.drone_width / 2,
+                cfg.drone_height / 4,
+                state.obstacles.xy,
+                state.obstacles.r,
+                state.obstacles.half_wh,
+                state.obstacles.mask,
+            )
         t_new = state.t + 1
 
         obs, la_locked = _observe(

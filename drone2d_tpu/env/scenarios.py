@@ -43,6 +43,7 @@ class ScenarioGeometry(NamedTuple):
     obs_r: np.ndarray       # (MAX_OBS,)
     obs_mask: np.ndarray    # (MAX_OBS,) bool
     spawn_rect: np.ndarray  # (4,) xmin, ymin, xmax, ymax
+    obs_half_wh: "np.ndarray | None" = None  # (MAX_OBS, 2) box half-extents
 
 
 def _chain(x1, y1, azimuths, distance):
@@ -55,7 +56,7 @@ def _chain(x1, y1, azimuths, distance):
 def scenario_waypoints(scen: str, w: float, h: float, *, n_wps: int = 10,
                        distance: float = 100.0, offset: float = 0.0) -> np.ndarray:
     """Deterministic scenario waypoint layouts (generate_scen_waypoints_2d)."""
-    if scen in ("perpendicular", "parallel", "impossible", "straight"):
+    if scen in ("perpendicular", "parallel", "parallel_boxes", "impossible", "straight"):
         x1 = w / 2 - distance * (n_wps - 1) / 2
         return _chain(x1, h / 2, np.zeros(n_wps - 1), distance)
     if scen == "S_parallel":
@@ -144,6 +145,14 @@ def _scenario_obstacles(scen: str, w: float, h: float) -> Tuple[np.ndarray, np.n
     elif scen == "large":
         xy.append(np.array([w / 2, h / 2]))
         r.append(w / 5)
+    elif scen == "parallel_boxes":
+        # the 'parallel' layout with Square obstacles (obstacles.py:20-31):
+        # side 2*size squares centered on the path instead of radius-size
+        # circles — the box-obstacle component exercised as a real scenario
+        n, size = 6, 30.0
+        host = HostQPMI(scenario_waypoints("parallel", w, h))
+        off = (host.length - n * size * 2) / 2 - size
+        on_path_row(host, [off + i * size * 2 for i in range(1, n + 1)], size)
     else:
         raise ValueError(f"unknown scenario: {scen}")
     return np.stack(xy), np.asarray(r, dtype=np.float64)
@@ -158,13 +167,16 @@ _SPAWN_RECTS = {
     "S_corridor": lambda w, h: (50.0, 150.0, w / 2 - 450, h - 300),
     "large": lambda w, h: (50.0, 150.0, w / 2 - w / 4 - 50, h - 300),
     "impossible": lambda w, h: (50.0, 150.0, w / 2, h - 300),
+    "parallel_boxes": lambda w, h: (50.0, 150.0, w / 2 - 300, h - 300),
 }
 
 
 def build_test_scenario(cfg: EnvConfig) -> ScenarioGeometry:
     """Assemble padded fixed-shape geometry for cfg.scenario."""
+    from drone2d_tpu.config import EXTRA_SCENARIOS
+
     scen = cfg.scenario
-    if scen not in TEST_SCENARIOS:
+    if scen not in TEST_SCENARIOS + EXTRA_SCENARIOS:
         raise ValueError(f"{scen!r} is not a spatial test scenario")
     w, h = cfg.screensize_x, cfg.screensize_y
 
@@ -191,6 +203,13 @@ def build_test_scenario(cfg: EnvConfig) -> ScenarioGeometry:
     obs_r[:k] = r
     obs_mask[:k] = True
 
+    obs_half_wh = None
+    if scen == "parallel_boxes":
+        # sizes in r are Square half-sides -> box half-extents, radius 0
+        obs_half_wh = np.zeros((cfg.max_obs, 2), np.float32)
+        obs_half_wh[:k] = np.stack([r, r], axis=-1)
+        obs_r[:] = 0.0
+
     return ScenarioGeometry(
         wps=wps_pad.astype(np.float32),
         n_wps=n_wps,
@@ -198,6 +217,7 @@ def build_test_scenario(cfg: EnvConfig) -> ScenarioGeometry:
         obs_r=obs_r.astype(np.float32),
         obs_mask=obs_mask,
         spawn_rect=np.asarray(_SPAWN_RECTS[scen](w, h), np.float32),
+        obs_half_wh=obs_half_wh,
     )
 
 

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple
+from typing import Dict, NamedTuple, Optional
 
 import jax.numpy as jnp
 
@@ -11,12 +11,20 @@ from drone2d_tpu.ops.physics import BodyState
 
 
 class ObstacleSet(NamedTuple):
-    """Padded circle-obstacle field (reference obstacles.py Circle only —
-    Square/Rectangle exist there but are never used by live code)."""
+    """Padded obstacle field.
+
+    The reference's live path builds only `Circle`s; `Square`/`Rectangle`
+    (obstacles.py:20-45) are ported for component parity as ROUNDED
+    axis-aligned boxes: `half_wh` half-extents plus radius `r`.  half_wh is
+    None by default — the circles-only fast path, bit-identical to round 1.
+    A Square(size) is half_wh=(size/2, size/2), r=0; a Rectangle(w, h) is
+    half_wh=(w/2, h/2), r=0.
+    """
 
     xy: jnp.ndarray    # (MAX_OBS, 2) centers; padding pushed far away
     r: jnp.ndarray     # (MAX_OBS,) radii
     mask: jnp.ndarray  # (MAX_OBS,) bool, True = live obstacle
+    half_wh: Optional[jnp.ndarray] = None  # (MAX_OBS, 2) box half-extents
 
 
 class EnvState(NamedTuple):

@@ -89,16 +89,22 @@ class SceneRenderer:
 
         if obstacles is None and self.geometry is not None:
             g = self.geometry
-            obstacles = (g.obs_xy, g.obs_r, g.obs_mask)
+            obstacles = (g.obs_xy, g.obs_r, g.obs_mask, g.obs_half_wh)
         if obstacles is not None:
-            xy, r, mask = obstacles
+            xy, r, mask = obstacles[:3]
+            half_wh = obstacles[3] if len(obstacles) > 3 else None
             for i in range(len(r)):
-                if mask[i]:
-                    pygame.draw.circle(
+                if not mask[i]:
+                    continue
+                cx, cy = float(xy[i, 0]), _flip(float(xy[i, 1]), h)
+                if half_wh is not None and (half_wh[i] > 0).any():
+                    hw, hh = float(half_wh[i][0]), float(half_wh[i][1])
+                    pygame.draw.rect(
                         s, OBSTACLE_COLOR,
-                        (float(xy[i, 0]), _flip(float(xy[i, 1]), h)),
-                        float(r[i]),
+                        pygame.Rect(cx - hw, cy - hh, 2 * hw, 2 * hh),
                     )
+                else:
+                    pygame.draw.circle(s, OBSTACLE_COLOR, (cx, cy), float(r[i]))
 
     # -- dynamic layers ------------------------------------------------------
 

@@ -89,12 +89,17 @@ def scenario_config(scenario: str, base: Optional[EnvConfig] = None) -> EnvConfi
     """Env config for one scenario name, mirroring env_test_config derivation
     (rl_config.py:63-79): spatial scenarios -> mode='test'; stage_k ->
     mode='curriculum' with the stage forced."""
+    from drone2d_tpu.config import EXTRA_SCENARIOS
+
     base = base or EnvConfig()
-    if scenario in TEST_SCENARIOS:
+    if scenario in TEST_SCENARIOS + EXTRA_SCENARIOS:
         return base.replace(mode="test", scenario=scenario)
     if scenario in STAGE_SCENARIOS:
         return base.replace(mode="curriculum", scenario=scenario)
-    raise ValueError(f"unknown scenario {scenario!r} (choose from {ALL_SCENARIOS})")
+    raise ValueError(
+        f"unknown scenario {scenario!r} "
+        f"(choose from {ALL_SCENARIOS + EXTRA_SCENARIOS})"
+    )
 
 
 def evaluate(

@@ -87,3 +87,89 @@ def any_collision(
     sdf = box_circle_sdf(pos, angle, half_w, half_h, centers)
     hit = (sdf < radii) & mask
     return jnp.any(hit)
+
+
+# ---------------------------------------------------------------------------
+# Box obstacles (reference obstacles.py:20-45 Square/Rectangle — dead in the
+# reference's live path, ported for component parity, off by default).
+# Every obstacle is modeled as a ROUNDED axis-aligned box: half-extents
+# half_wh plus radius r.  half_wh == 0 degenerates to the circle formulas
+# above bit-for-bit; r == 0 with half_wh > 0 is a sharp Square/Rectangle.
+# ---------------------------------------------------------------------------
+
+
+def point_aabb_sdf(points: jnp.ndarray, centers: jnp.ndarray,
+                   half_wh: jnp.ndarray) -> jnp.ndarray:
+    """Signed distance from each point to each axis-aligned box.
+
+    points: (V, 2); centers: (K, 2); half_wh: (K, 2) -> (V, K).
+    half_wh == 0 reduces to the point-to-center distance |p - c|.
+    """
+    rel = points[:, None, :] - centers[None, :, :]          # (V, K, 2)
+    q = jnp.abs(rel) - half_wh[None, :, :]
+    outside = jnp.sqrt(jnp.sum(jnp.maximum(q, 0.0) ** 2, axis=-1))
+    inside = jnp.minimum(jnp.maximum(q[..., 0], q[..., 1]), 0.0)
+    return outside + inside
+
+
+def vertex_rounded_box_distances(
+    verts: jnp.ndarray, centers: jnp.ndarray, half_wh: jnp.ndarray,
+    radii: jnp.ndarray,
+) -> jnp.ndarray:
+    """Min over drone vertices of (aabb_sdf - r) per obstacle — the
+    vertex-sampled observation metric (drone_2d_env.py:948-961) generalized
+    to rounded boxes.  With half_wh == 0 it equals
+    `vertex_circle_distances` exactly."""
+    return jnp.min(point_aabb_sdf(verts, centers, half_wh) - radii[None, :], axis=0)
+
+
+def any_collision_mixed(
+    pos: jnp.ndarray,
+    angle: jnp.ndarray,
+    half_w: float,
+    half_h: float,
+    centers: jnp.ndarray,
+    radii: jnp.ndarray,
+    half_wh: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Collision test for a mixed circle/box obstacle field.
+
+    Circle obstacles (half_wh == 0) keep the EXACT narrow phase of
+    `any_collision` (true rotated-box SDF vs circle).  Box obstacles use a
+    separating-axis test over the 4 candidate axes (2 world axes for the
+    AABB, 2 body axes for the rotated frame) — exact for the sharp
+    Square/Rectangle port (r == 0); a radius r expands the box extents,
+    which is exact on face contacts and mildly conservative at corners.
+    """
+    is_box = jnp.any(half_wh > 0.0, axis=-1)                # (K,)
+
+    circle_hit = box_circle_sdf(pos, angle, half_w, half_h, centers) < radii
+
+    # SAT: axes as rows; drone body axes u, v from the rotation
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    axes = jnp.stack(
+        [
+            jnp.stack([jnp.ones_like(c), jnp.zeros_like(c)]),  # world x
+            jnp.stack([jnp.zeros_like(c), jnp.ones_like(c)]),  # world y
+            jnp.stack([c, s]),                                 # drone u
+            jnp.stack([-s, c]),                                # drone v
+        ]
+    )                                                        # (4, 2)
+    delta = centers - pos[None, :]                           # (K, 2)
+    proj_d = jnp.abs(delta @ axes.T)                         # (K, 4)
+    # drone extent per axis: |u.a| half_w + |v.a| half_h
+    ext_drone = (
+        jnp.abs(axes @ jnp.stack([c, s])) * half_w
+        + jnp.abs(axes @ jnp.stack([-s, c])) * half_h
+    )                                                        # (4,)
+    # AABB extent per axis: hw |a_x| + hh |a_y|  (+ r rounding margin)
+    ext_box = (
+        half_wh[:, 0:1] * jnp.abs(axes[None, :, 0])
+        + half_wh[:, 1:2] * jnp.abs(axes[None, :, 1])
+        + radii[:, None]
+    )                                                        # (K, 4)
+    box_hit = jnp.all(proj_d < ext_drone[None, :] + ext_box, axis=-1)
+
+    hit = jnp.where(is_box, box_hit, circle_hit) & mask
+    return jnp.any(hit)

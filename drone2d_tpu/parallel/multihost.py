@@ -57,14 +57,15 @@ def init_distributed(
 
     On TPU pods all arguments are auto-discovered from the environment —
     call with no args.  On CPU/GPU clusters pass them explicitly.  Safe to
-    call on a single host (initialize is skipped)."""
-    needs_init = (
-        coordinator_address is not None
-        or num_processes is not None
-        or jax.process_count() > 1
-        or _looks_like_pod()
-    )
-    if needs_init and jax.process_count() == 1:
+    call on a single host (initialize is skipped).
+
+    NOTE: the decision to initialize is made from the arguments and the
+    environment ONLY — `jax.distributed.initialize` must run before the
+    first backend query, and even `jax.process_count()` initializes the
+    backend, so no jax state may be consulted here.  (Exercised end-to-end
+    by scripts/multihost_smoke.py: 2 real processes, one global mesh.)"""
+    explicit = coordinator_address is not None or num_processes is not None
+    if explicit or _looks_like_pod():
         try:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,

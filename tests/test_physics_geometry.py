@@ -174,3 +174,81 @@ def test_collision_sdf():
     assert not bool(
         geometry.any_collision(pos, jnp.float32(0.0), HALF_W, HALF_H, centers, radii3, mask2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Box obstacles (reference obstacles.py:20-45 Square/Rectangle port)
+# ---------------------------------------------------------------------------
+
+
+def test_point_aabb_sdf_known_values():
+    from drone2d_tpu.ops.geometry import point_aabb_sdf
+
+    pts = jnp.array([[5.0, 0.0], [0.0, 0.0], [3.0, 4.0]])
+    centers = jnp.array([[0.0, 0.0]])
+    half = jnp.array([[2.0, 1.0]])
+    d = np.asarray(point_aabb_sdf(pts, centers, half))[:, 0]
+    assert d[0] == pytest.approx(3.0)          # right face at x=2
+    assert d[1] == pytest.approx(-1.0)         # inside: nearest face 1 away
+    assert d[2] == pytest.approx(np.hypot(1.0, 3.0))  # corner (2,1)
+
+
+def test_rounded_box_degenerates_to_circle():
+    """half_wh == 0 must reproduce vertex_circle_distances bit-for-bit, so
+    the circles-only path and the mixed path agree."""
+    from drone2d_tpu.ops.geometry import (
+        frame_vertices, vertex_circle_distances, vertex_rounded_box_distances,
+    )
+
+    key = jax.random.PRNGKey(0)
+    verts = frame_vertices(jnp.array([600.0, 700.0]), jnp.float32(0.3), 50.0, 5.0)
+    centers = jax.random.uniform(key, (12, 2), minval=0.0, maxval=1300.0)
+    radii = jax.random.uniform(jax.random.PRNGKey(1), (12,), minval=5.0, maxval=60.0)
+    a = vertex_circle_distances(verts, centers, radii)
+    b = vertex_rounded_box_distances(verts, centers, jnp.zeros((12, 2)), radii)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_any_collision_mixed_matches_circle_path():
+    from drone2d_tpu.ops.geometry import any_collision, any_collision_mixed
+
+    key = jax.random.PRNGKey(2)
+    centers = jax.random.uniform(key, (8, 2), minval=0.0, maxval=400.0)
+    radii = jnp.full((8,), 30.0)
+    mask = jnp.ones((8,), bool)
+    zero_half = jnp.zeros((8, 2))
+    for px in (0.0, 100.0, 200.0, 300.0):
+        pos = jnp.array([px, 200.0])
+        a = bool(any_collision(pos, jnp.float32(0.4), 50.0, 5.0, centers, radii, mask))
+        b = bool(any_collision_mixed(pos, jnp.float32(0.4), 50.0, 5.0,
+                                     centers, radii, zero_half, mask))
+        assert a == b
+
+
+def test_box_collision_hits_and_misses():
+    """Drone frame (half 50x5) vs a Square of side 60 at (200, 200) — the
+    box spans [170, 230]^2.  Expectations computed from the exact box-box
+    overlap; the two-way vertex sampling must match them here because every
+    contact below is corner-led."""
+    from drone2d_tpu.ops.geometry import any_collision_mixed
+
+    centers = jnp.array([[200.0, 200.0]])
+    half = jnp.array([[30.0, 30.0]])
+    r = jnp.zeros((1,))
+    mask = jnp.ones((1,), bool)
+
+    def hit(x, y, angle=0.0):
+        return bool(any_collision_mixed(
+            jnp.array([x, y]), jnp.float32(angle), 50.0, 5.0,
+            centers, r, half, mask,
+        ))
+
+    assert hit(200.0, 200.0)       # drone centered inside the box
+    assert hit(200.0, 232.0)       # frame bottom 227 under box top 230
+    assert not hit(200.0, 300.0)   # frame bottom 295, box top 230: clear
+    assert not hit(400.0, 200.0)   # frame left 350, box right 230: clear
+    assert hit(275.0, 200.0)       # frame spans x [225, 325]: 5 px overlap
+    assert not hit(283.0, 200.0)   # frame spans x [233, 333]: 3 px gap
+    # rotated 90 deg the 100-px span lies along y: y in [yc-50, yc+50]
+    assert hit(200.0, 278.0, angle=np.pi / 2)       # y [228, 328]: overlap
+    assert not hit(200.0, 282.0, angle=np.pi / 2)   # y [232, 332]: 2 px gap

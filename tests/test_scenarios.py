@@ -105,3 +105,51 @@ def test_env_runs_in_every_scenario(scen):
     xmin, ymin, xmax, ymax = np.asarray(env._spawn_rect)
     p = np.asarray(state.body.pos)
     assert xmin <= p[0] <= xmax and ymin <= p[1] <= ymax
+
+
+def test_parallel_boxes_scenario_runs_end_to_end():
+    """The box-obstacle scenario variant (Square port, obstacles.py:20-31):
+    geometry builds, the env steps with the mixed collision path, and flying
+    along the path into the box row eventually collides."""
+    import jax.numpy as jnp
+
+    from drone2d_tpu.config import EnvConfig
+    from drone2d_tpu.env import scenarios
+    from drone2d_tpu.env.env import Drone2DEnv
+
+    cfg = EnvConfig(mode="test", scenario="parallel_boxes", path_table_n=128)
+    geo = scenarios.build_test_scenario(cfg)
+    assert geo.obs_half_wh is not None
+    k = int(geo.obs_mask.sum())
+    assert k == 6
+    assert np.all(geo.obs_half_wh[:k] == 30.0)
+    assert np.all(geo.obs_r[:k] == 0.0)
+
+    env = Drone2DEnv(cfg)
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(obs)).all()
+
+    # teleport the drone into the first box: collision must fire
+    state2 = state._replace(
+        body=state.body._replace(
+            pos=jnp.asarray(geo.obs_xy[0], jnp.float32),
+            vel=jnp.zeros(2, jnp.float32),
+        )
+    )
+    out = jax.jit(env.step)(state2, jnp.array([0.0, 0.0]))
+    assert bool(out.done)
+    assert int(out.info["n_collisions"]) == 1
+    assert float(out.info["collision_reward"]) == cfg.rew_collision
+
+    # the observation's nearest-obstacle distance uses the box metric:
+    # standing 100 px left of the first box face, distance ~ 100 - 30 - 50
+    left_of = geo.obs_xy[0] - np.array([130.0, 0.0])
+    state3 = state._replace(
+        body=state.body._replace(
+            pos=jnp.asarray(left_of, jnp.float32),
+            angle=jnp.float32(0.0),
+        )
+    )
+    out3 = jax.jit(env.step)(state3, jnp.array([0.0, 0.0]))
+    d = float(out3.info["dist_closest_obs"])
+    assert 20.0 <= d <= 70.0, d
