@@ -102,6 +102,11 @@ class TrainState(NamedTuple):
     # under the num_envs granularity the curriculum clock can resolve.
     # (int64 would need jax_enable_x64, which would poison every dtype.)
     global_step: jnp.ndarray       # () float32 env-step counter
+    # Cumulative finished-episode count, accumulated ON DEVICE so the train
+    # loop never has to device_get per update (a host sync per update would
+    # serialize dispatch; metrics are fetched only on logging updates).
+    # Reduced across shards under shard_map, carried through checkpoints.
+    episodes_total: jnp.ndarray    # () float32 cumulative episodes
 
 
 class RolloutBatch(NamedTuple):
@@ -163,6 +168,7 @@ class PPOLearner:
             obs=obs,
             rng=k_rng,
             global_step=jnp.float32(0.0),
+            episodes_total=jnp.float32(0.0),
         )
 
     # -- rollout -------------------------------------------------------------
@@ -330,15 +336,19 @@ class PPOLearner:
         metrics = {"loss": jnp.mean(losses)}
         for k, v in auxes.items():
             metrics[k] = jnp.mean(v)
-        ep = stats.summary()
         if axis_name is not None:
             # episode stats are per-shard sums -> psum them; rates re-derive
-            stats_g = jax.tree.map(lambda x: jax.lax.psum(x, axis_name), stats)
-            ep = stats_g.summary()
+            stats = jax.tree.map(lambda x: jax.lax.psum(x, axis_name), stats)
+        ep = stats.summary()
+        episodes_total = state.episodes_total + stats.n_episodes
         metrics.update({f"episodes/{k}": v for k, v in ep.items()})
+        metrics["episodes/total"] = episodes_total
         metrics["global_step"] = state.global_step
 
-        new_state = state._replace(params=params, opt_state=opt_state, rng=rng)
+        new_state = state._replace(
+            params=params, opt_state=opt_state, rng=rng,
+            episodes_total=episodes_total,
+        )
         return new_state, metrics
 
     # convenience jitted single-device update

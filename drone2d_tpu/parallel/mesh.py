@@ -46,6 +46,7 @@ def _state_spec(state_shape) -> TrainState:
         obs=shard0,
         rng=rep,
         global_step=rep,
+        episodes_total=rep,
     )
 
 

@@ -92,24 +92,26 @@ def train(
     steps_per_update = ppo_cfg.n_steps * train_cfg.num_envs
     next_ckpt = (start_step // train_cfg.checkpoint_every_steps + 1) * train_cfg.checkpoint_every_steps
     n_updates = 0
+    gs = start_step
     t0 = time.perf_counter()
     try:
         while True:
             state, metrics = upd(state)
             n_updates += 1
+            # host-side step bookkeeping: NO device_get between logging
+            # updates, so dispatch pipelines ahead of the device (on a
+            # tunneled TPU a per-update sync would serialize every RPC)
+            gs += steps_per_update
             if n_updates == 1:
                 # first update is dominated by XLA compilation; restart the
                 # throughput clock so steps/s reflects steady state
                 jax.block_until_ready(metrics["loss"])
                 t0 = time.perf_counter()
-            gs = int(np.asarray(jax.device_get(metrics["global_step"])))
-            # every update feeds the cumulative episode counter, even when
-            # this update's row is not logged (log_every_updates > 1)
-            writer.add_episodes(
-                int(np.asarray(jax.device_get(metrics["episodes/episodes"])))
-            )
             if n_updates % train_cfg.log_every_updates == 0:
                 m = {k: float(np.asarray(v)) for k, v in jax.device_get(metrics).items()}
+                # cumulative episodes accumulated on device (exact across
+                # skipped updates and across resume)
+                writer.set_episodes_total(int(m.pop("episodes/total")))
                 rate = steps_per_update * max(n_updates - 1, 1) / max(
                     time.perf_counter() - t0, 1e-9
                 )

@@ -44,6 +44,7 @@ def save_checkpoint(
         if jax.dtypes.issubdtype(state.rng.dtype, jax.dtypes.prng_key)
         else jax.device_get(state.rng),
         global_step=step,
+        episodes_total=int(np.asarray(jax.device_get(state.episodes_total))),
     )
     mgr = _manager(directory, keep)
     mgr.save(step, args=ocp.args.StandardSave(payload))
@@ -78,6 +79,7 @@ def restore_checkpoint(
                 opt_state=template.opt_state,
                 rng=jax.ShapeDtypeStruct((2,), np.uint32),
                 global_step=0,
+                episodes_total=0,
             )
         ),
     )
@@ -93,5 +95,6 @@ def restore_checkpoint(
         obs=obs,
         rng=rng,
         global_step=jax.numpy.float32(payload["global_step"]),
+        episodes_total=jax.numpy.float32(payload.get("episodes_total", 0)),
     )
     return state, int(payload["global_step"])

@@ -58,6 +58,12 @@ class MetricsWriter:
         (tensorboardlogger.py:110)."""
         self._episodes_total += int(n)
 
+    def set_episodes_total(self, n: int) -> None:
+        """Set the absolute cumulative count — used when the learner
+        accumulates episodes on device (TrainState.episodes_total), which
+        counts every update exactly without per-update host syncs."""
+        self._episodes_total = int(n)
+
     @property
     def episodes_total(self) -> int:
         return self._episodes_total

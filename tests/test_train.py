@@ -52,6 +52,20 @@ def test_global_step_counts_past_int32_wrap():
     assert float(metrics["global_step"]) == 2.0**31 + 8 * 2**14
 
 
+def test_device_episode_accumulator():
+    """TrainState.episodes_total accumulates every update's episode count on
+    device, so the train loop needs no per-update host sync (and the count
+    survives checkpoint resume)."""
+    learner = PPOLearner(EnvConfig(**SMALL_ENV), PPOConfig(**SMALL_PPO), num_envs=8)
+    state = jax.jit(learner.init)(jax.random.PRNGKey(0))
+    total = 0.0
+    for _ in range(3):
+        state, m = learner.update_jit(state)
+        total += float(m["episodes/episodes"])
+        assert float(m["episodes/total"]) == total
+        assert float(state.episodes_total) == total
+
+
 def test_metrics_episode_accounting(tmp_path):
     """Cumulative time/episodes counts EVERY update's episodes even when only
     every 3rd update is logged, and survives resume (VERDICT r1 next #4)."""
