@@ -10,7 +10,7 @@ import pytest
 _ART_DIR = os.path.join(os.path.dirname(__file__), "..", "artifacts")
 FLAGSHIPS = [
     os.path.join(_ART_DIR, name, "new_agent.npz")
-    for name in ("agent_s24", "agent_s45", "agent_s55", "agent_s103", "agent_s102")
+    for name in ("agent_s24", "agent_s45", "agent_s55", "agent_s103", "agent_s102", "agent_s115")
 ]
 
 pytestmark = pytest.mark.skipif(
@@ -20,7 +20,7 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.mark.parametrize(
-    "artifact", FLAGSHIPS, ids=["s24", "s45", "s55", "s103", "s102"]
+    "artifact", FLAGSHIPS, ids=["s24", "s45", "s55", "s103", "s102", "s115"]
 )
 def test_flagship_loads_and_flies_corridor(artifact):
     from drone2d_tpu.eval.episode import run_episodes
