@@ -47,14 +47,18 @@ def bench_train() -> None:
     )
     state = jax.jit(learner.init)(jax.random.PRNGKey(0))
 
-    # warmup / compile
+    import numpy as np
+
+    # warmup / compile; device_get forces a full round trip (on the remote
+    # axon backend a bare block_until_ready has been observed to return
+    # before the dispatch queue drains, yielding impossible timings)
     state, metrics = learner.update_jit(state)
-    jax.block_until_ready(metrics["loss"])
+    float(np.asarray(jax.device_get(metrics["loss"])))
 
     t0 = time.perf_counter()
     for _ in range(TRAIN_REPEATS):
         state, metrics = learner.update_jit(state)
-    jax.block_until_ready(metrics["loss"])
+    float(np.asarray(jax.device_get(metrics["loss"])))
     dt = time.perf_counter() - t0
 
     steps = TRAIN_REPEATS * TRAIN_NUM_ENVS * learner.cfg.n_steps

@@ -203,6 +203,11 @@ class PPOConfig:
     # policy net: SB3 MlpPolicy default = separate pi/vf MLPs, 2x64 tanh,
     # orthogonal init, state-independent log_std initialized to 0.
     hidden_sizes: Tuple[int, ...] = (64, 64)
+    # minibatch shuffle: 'exact' = uniform random permutation per epoch (SB3
+    # semantics; sort-based, ~3 ms/epoch at 131k samples); 'affine' = random
+    # affine index bijection (sort-free, ~27% faster updates; a true
+    # permutation but not uniform over all orderings).
+    shuffle: str = "exact"
 
     def replace(self, **kw) -> "PPOConfig":
         return dataclasses.replace(self, **kw)

@@ -147,6 +147,42 @@ def test_rollout_shapes(learner):
     assert np.all(np.isfinite(np.asarray(batch.obs)))
 
 
+def test_affine_shuffle_mode(learner):
+    # affine mode: sort-free index bijection; update runs and learns on a
+    # power-of-two batch, and validation rejects non-power-of-two batches.
+    aff = PPOLearner(
+        EnvConfig(**SMALL_ENV),
+        PPOConfig(n_steps=8, num_minibatches=4, n_epochs=2, shuffle="affine"),
+        num_envs=8,
+    )
+    state = jax.jit(aff.init)(jax.random.PRNGKey(0))
+    state2, metrics = aff.update_jit(state)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.global_step) == 8 * 8
+
+    with pytest.raises(ValueError, match="power-of-two"):
+        PPOLearner(
+            EnvConfig(**SMALL_ENV),
+            PPOConfig(n_steps=6, num_minibatches=4, n_epochs=2, shuffle="affine"),
+            num_envs=8,
+        )
+    with pytest.raises(ValueError, match="shuffle"):
+        PPOLearner(
+            EnvConfig(**SMALL_ENV),
+            PPOConfig(n_steps=8, num_minibatches=4, n_epochs=2, shuffle="bogus"),
+            num_envs=8,
+        )
+
+
+def test_affine_perm_is_bijection():
+    # the a*i+b mod B map with odd a over power-of-two B is a permutation
+    B = 1024
+    a = jnp.uint32(387)  # odd
+    b = jnp.uint32(555)
+    perm = (a * jnp.arange(B, dtype=jnp.uint32) + b) % B
+    assert len(np.unique(np.asarray(perm))) == B
+
+
 def test_value_target_gradient_flows(learner):
     # loss must depend on value head (vf_coef) and policy head
     state = jax.jit(learner.init)(jax.random.PRNGKey(0))
