@@ -49,28 +49,26 @@ class EpisodeResults(NamedTuple):
         return out
 
 
-def run_episodes(
+def _episode_runner(
     cfg: EnvConfig,
-    params: Optional[ActorCriticParams],
-    key: jax.Array,
-    n_episodes: int,
-    *,
-    deterministic: bool = False,
-    global_step: int = 0,
-) -> EpisodeResults:
-    """Run n_episodes complete episodes under the policy (or random actions
-    when params is None).  `deterministic=False` matches the reference's
-    `model.predict(obs)` (SB3 default samples the Gaussian, main.py:263)."""
+    random_policy: bool,
+    deterministic: bool,
+    global_step: int,
+):
+    """Build `one_episode(params, ep_key) -> (metrics, traj, angles, len)` for
+    the given env config.  Kept param-explicit (params is an argument, not a
+    closure) so callers can vmap over an agent axis as well as the episode
+    axis — batched multi-agent evaluation is one device program."""
     env = Drone2DEnv(cfg)
     T = cfg.n_steps
 
-    def one_episode(ep_key):
+    def one_episode(params, ep_key):
         k_reset, k_policy = jax.random.split(ep_key)
         state, obs = env.reset(k_reset, global_step)
 
         def step_fn(carry, k):
             state, obs, done, metrics = carry
-            if params is None:
+            if random_policy:
                 action = jax.random.uniform(k, (2,), minval=-1.0, maxval=1.0)
             elif deterministic:
                 mean, _, _ = policy_value(params, obs)
@@ -117,8 +115,10 @@ def run_episodes(
         metrics["total_reward"] = jnp.where(timeout, state.total_reward, metrics["total_reward"])
         return metrics, traj, angles, jnp.sum(live.astype(jnp.int32))
 
-    keys = jax.random.split(key, n_episodes)
-    metrics, traj, angles, traj_len = jax.jit(jax.vmap(one_episode))(keys)
+    return one_episode
+
+
+def _to_results(metrics, traj, angles, traj_len) -> EpisodeResults:
     g = jax.device_get
     return EpisodeResults(
         success=np.asarray(g(metrics["success"])),
@@ -131,3 +131,66 @@ def run_episodes(
         angles=np.asarray(g(angles)),
         traj_len=np.asarray(g(traj_len)),
     )
+
+
+def run_episodes(
+    cfg: EnvConfig,
+    params: Optional[ActorCriticParams],
+    key: jax.Array,
+    n_episodes: int,
+    *,
+    deterministic: bool = False,
+    global_step: int = 0,
+) -> EpisodeResults:
+    """Run n_episodes complete episodes under the policy (or random actions
+    when params is None).  `deterministic=False` matches the reference's
+    `model.predict(obs)` (SB3 default samples the Gaussian, main.py:263)."""
+    one_episode = _episode_runner(cfg, params is None, deterministic, global_step)
+    if params is None:
+        # dummy pytree so vmap in_axes=None has something to pass through
+        params = jnp.zeros(())
+    keys = jax.random.split(key, n_episodes)
+    metrics, traj, angles, traj_len = jax.jit(
+        jax.vmap(one_episode, in_axes=(None, 0))
+    )(params, keys)
+    return _to_results(metrics, traj, angles, traj_len)
+
+
+def run_episodes_multi(
+    cfg: EnvConfig,
+    params_stack: ActorCriticParams,
+    key: jax.Array,
+    n_episodes: int,
+    *,
+    deterministic: bool = False,
+    global_step: int = 0,
+    same_episodes: bool = True,
+) -> EpisodeResults:
+    """Evaluate a whole STACK of agents at once: `params_stack` is an
+    ActorCriticParams pytree with a leading agent axis A (e.g. several seeds'
+    checkpoints stacked with `jax.tree.map(lambda *x: jnp.stack(x), ...)`).
+
+    All A x n_episodes rollouts run as ONE device program — this is the
+    TPU-native answer to the reference's one-at-a-time Tests/ campaign loop
+    (main.py:242-400) and makes checkpoint selection nearly free: 48 agents x
+    100 episodes is a single vmap x vmap launch.
+
+    `same_episodes=True` gives every agent the identical episode keys (same
+    spawn/path/obstacle draws AND the same policy-noise streams), so
+    per-agent numbers are directly comparable (paired comparison); False
+    draws independent episodes per agent.  Returned arrays have leading shape
+    (A, n_episodes).
+    """
+    one_episode = _episode_runner(cfg, False, deterministic, global_step)
+    A = jax.tree.leaves(params_stack)[0].shape[0]
+    if same_episodes:
+        keys = jax.random.split(key, n_episodes)
+        fn = jax.vmap(
+            jax.vmap(one_episode, in_axes=(None, 0)), in_axes=(0, None)
+        )
+    else:
+        keys = jax.random.split(key, A * n_episodes)
+        keys = keys.reshape((A, n_episodes) + keys.shape[1:])
+        fn = jax.vmap(jax.vmap(one_episode, in_axes=(None, 0)), in_axes=(0, 0))
+    metrics, traj, angles, traj_len = jax.jit(fn)(params_stack, keys)
+    return _to_results(metrics, traj, angles, traj_len)

@@ -38,6 +38,45 @@ def test_run_episodes_shapes_and_invariants(campaign):
     assert np.all(r.fail[r.collision > 0])
 
 
+def test_run_episodes_multi_matches_single():
+    """Batched multi-agent eval (vmap over agents) must reproduce the
+    single-agent path bit-for-bit when given the same episode keys."""
+    from drone2d_tpu.eval.episode import run_episodes_multi
+    from drone2d_tpu.models.policy import init_actor_critic
+
+    cfg = EnvConfig(mode="test", scenario="large", **SMALL)
+    p0 = init_actor_critic(jax.random.PRNGKey(1), 27, 2)
+    p1 = init_actor_critic(jax.random.PRNGKey(2), 27, 2)
+    stack = jax.tree.map(lambda *x: jnp.stack(x), p0, p0, p1)
+    key = jax.random.PRNGKey(5)
+
+    multi = run_episodes_multi(cfg, stack, key, 4, same_episodes=True)
+    assert multi.success.shape == (3, 4)
+    assert multi.traj.shape == (3, 4, cfg.n_steps, 2)
+
+    # identical agents in the same program: bit-identical rows
+    np.testing.assert_array_equal(multi.traj[0], multi.traj[1])
+    np.testing.assert_array_equal(multi.total_reward[0], multi.total_reward[1])
+    # a different agent on the same episodes actually behaves differently
+    assert not np.array_equal(multi.traj[0], multi.traj[2])
+
+    # vs the single-agent path: the (A, N) program compiles to different
+    # fusions than the (N,) program, so bitwise parity is not guaranteed and
+    # chaotic dynamics amplify rounding — check outcome-level agreement.
+    for i, p in ((0, p0), (2, p1)):
+        single = run_episodes(cfg, p, key, 4)
+        np.testing.assert_array_equal(multi.success[i], single.success)
+        np.testing.assert_array_equal(multi.fail[i], single.fail)
+        np.testing.assert_array_equal(multi.time_steps[i], single.time_steps)
+        np.testing.assert_allclose(multi.total_reward[i], single.total_reward,
+                                   rtol=1e-4)
+        np.testing.assert_allclose(multi.traj[i], single.traj, atol=5.0)
+
+    # independent-episode mode draws different keys per agent
+    indep = run_episodes_multi(cfg, stack, key, 4, same_episodes=False)
+    assert indep.success.shape == (3, 4)
+
+
 def test_flight_paths_screen_coords(campaign):
     cfg, r = campaign
     fps = r.flight_paths(cfg.screensize_y)
