@@ -35,6 +35,11 @@ def main() -> None:
         "--env", action="append", default=[], metavar="KEY=VALUE",
         help="EnvConfig override, e.g. --env PP_rew_max=3.5 (repeatable)",
     )
+    p.add_argument(
+        "--no-eval", action="store_true",
+        help="train only; defer evaluation to scripts/select_agents.py, which "
+        "batches all seeds x checkpoints per scenario in one device program",
+    )
     args = p.parse_args()
 
     from drone2d_tpu.utils.runtime import setup_runtime
@@ -78,6 +83,9 @@ def main() -> None:
             PPOConfig(n_steps=args.n_steps, num_minibatches=args.num_minibatches),
         )
         train_s = time.time() - t0
+        if args.no_eval:
+            print(f"=== seed {seed}: trained ({train_s:.0f}s), eval deferred")
+            continue
 
         summaries = []
         for scen in ALL_SCENARIOS:
