@@ -1,0 +1,134 @@
+"""Vmapped zoo training: a whole population of seeds as ONE device program.
+
+The reference's methodology is "train ~20 runs, hand-pick the best"
+(ppo_agents/ holds ~80 checkpoints across runs; the best three are enshrined
+in best_models_config_and_res/).  Its cost model is a process farm per run.
+Here the entire PPO update is pure over `TrainState`, so a population is
+just `jax.vmap(learner.update)` over a stacked state: S seeds roll out,
+compute GAE, and take their 640 SGD steps in lockstep in one XLA program.
+
+Why this is the TPU-native shape: the 2x64 MLP uses a tiny fraction of the
+chip per agent — the SGD phase is per-kernel-overhead-bound at ~94 us per
+minibatch step (docs/RESULTS.md round 2), with the actual math costing ~1 us.
+vmapping over the agent axis multiplies the per-kernel WORK by S while the
+per-kernel OVERHEAD stays constant, so population throughput approaches S
+agents for the price of ~1.
+
+Measured (one v5e chip, quality recipe 1024 envs x 128 steps x 640 SGD):
+see docs/RESULTS.md "Zoo training" — the per-seed rate multiplies several-fold
+vs sequential sweeps.
+
+Seed-selection campaigns pair this with `scripts/select_agents.py`
+(batched multi-agent eval) for an end-to-end hunt that never leaves the
+device except to snapshot params.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drone2d_tpu.config import EnvConfig, PPOConfig
+from drone2d_tpu.learn.ppo import PPOLearner, TrainState
+from drone2d_tpu.models.policy import params_to_flat_dict
+
+
+class ZooTrainer:
+    """Binds (EnvConfig, PPOConfig, num_envs) into vmapped population fns.
+
+    `init(seeds)` -> stacked TrainState (leading axis = agent);
+    `update(state)` -> (state', metrics) with every metric shaped (S,).
+    """
+
+    def __init__(self, env_cfg: EnvConfig, ppo_cfg: PPOConfig, num_envs: int):
+        self.learner = PPOLearner(env_cfg, ppo_cfg, num_envs)
+        self._init = jax.jit(jax.vmap(self.learner.init))
+        self._update = jax.jit(jax.vmap(self.learner.update))
+
+    @property
+    def steps_per_update(self) -> int:
+        return self.learner.cfg.n_steps * self.learner.num_envs
+
+    def init(self, seeds: Sequence[int]) -> TrainState:
+        keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+        return self._init(keys)
+
+    def update(self, state: TrainState):
+        return self._update(state)
+
+
+def save_zoo(
+    state: TrainState,
+    seeds: Sequence[int],
+    out_root: str,
+    step: Optional[int] = None,
+) -> List[str]:
+    """Write each population member's params as seed_<s>/new_agent.npz
+    (final) or seed_<s>/ckpt_<step>.npz (mid-run snapshot) — the layout
+    scripts/select_agents.py consumes."""
+    params = jax.device_get(state.params)
+    paths = []
+    for i, s in enumerate(seeds):
+        p_i = jax.tree.map(lambda x: x[i], params)
+        flat = {k: np.asarray(v) for k, v in params_to_flat_dict(p_i).items()}
+        d = os.path.join(out_root, f"seed_{s}")
+        os.makedirs(d, exist_ok=True)
+        name = "new_agent.npz" if step is None else f"ckpt_{step}.npz"
+        path = os.path.join(d, name)
+        np.savez(path, **flat)
+        paths.append(path)
+    return paths
+
+
+def train_zoo(
+    env_cfg: EnvConfig,
+    ppo_cfg: PPOConfig,
+    num_envs: int,
+    seeds: Sequence[int],
+    total_timesteps: int,
+    out_root: str,
+    *,
+    snapshots: int = 3,
+    log_every: int = 20,
+) -> TrainState:
+    """Train the whole seed population to total_timesteps each, snapshotting
+    `snapshots` intermediate per-seed .npz checkpoints along the way.
+
+    Metrics print as population summaries (mean/max success rate); per-seed
+    curves are what select_agents.py is for.
+    """
+    import time
+
+    trainer = ZooTrainer(env_cfg, ppo_cfg, num_envs)
+    state = trainer.init(seeds)
+    spu = trainer.steps_per_update
+    n_updates = max((total_timesteps + spu - 1) // spu, 1)
+    snap_at = {
+        round(n_updates * (i + 1) / (snapshots + 1)) for i in range(snapshots)
+    }
+
+    t0 = time.perf_counter()
+    for u in range(1, n_updates + 1):
+        state, metrics = trainer.update(state)
+        if u == 1:
+            jax.block_until_ready(metrics["loss"])
+            t0 = time.perf_counter()  # exclude compile from the rate
+        if u % log_every == 0 or u == n_updates:
+            sr = np.asarray(jax.device_get(metrics["episodes/success_rate"]))
+            loss = np.asarray(jax.device_get(metrics["loss"]))
+            rate = spu * len(seeds) * max(u - 1, 1) / max(
+                time.perf_counter() - t0, 1e-9
+            )
+            print(
+                f"update {u}/{n_updates}  step {u * spu:>9d}/seed  "
+                f"loss {loss.mean():8.3f}  sr mean {sr.mean():.2f} "
+                f"max {sr.max():.2f}  {rate:,.0f} steps/s ({len(seeds)} seeds)"
+            )
+        if u in snap_at:
+            save_zoo(state, seeds, out_root, step=u * spu)
+    save_zoo(state, seeds, out_root, step=None)
+    return state

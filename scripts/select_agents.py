@@ -55,6 +55,13 @@ def find_candidates(run_dirs, finals_only=False):
         # the last saved step duplicates the final agent; skip it
         for s in steps[:-1]:
             cands.append((f"{name}/{s}", d, s))
+        # zoo-trainer .npz snapshots (learn/zoo.py save_zoo)
+        import re
+
+        for e in sorted(os.listdir(d)):
+            m = re.fullmatch(r"ckpt_(\d+)\.npz", e)
+            if m:
+                cands.append((f"{name}/{m.group(1)}", os.path.join(d, e), None))
     return cands
 
 

@@ -40,6 +40,12 @@ def main() -> None:
         help="train only; defer evaluation to scripts/select_agents.py, which "
         "batches all seeds x checkpoints per scenario in one device program",
     )
+    p.add_argument(
+        "--vmap", type=int, default=0, metavar="S",
+        help="train seeds in vmapped populations of S (learn/zoo.py: one "
+        "device program per S seeds, several-fold faster than sequential "
+        "runs). Implies --no-eval; run select_agents.py afterwards.",
+    )
     args = p.parse_args()
 
     from drone2d_tpu.utils.runtime import setup_runtime
@@ -66,6 +72,21 @@ def main() -> None:
     env_cfg = EnvConfig(**overrides)
 
     os.makedirs(args.out, exist_ok=True)
+    if args.vmap:
+        from drone2d_tpu.learn.zoo import train_zoo
+
+        for i in range(0, len(args.seeds), args.vmap):
+            chunk = args.seeds[i:i + args.vmap]
+            t0 = time.time()
+            train_zoo(
+                env_cfg,
+                PPOConfig(n_steps=args.n_steps,
+                          num_minibatches=args.num_minibatches),
+                args.num_envs, chunk, args.total_timesteps, args.out,
+            )
+            print(f"=== zoo chunk {chunk}: trained ({time.time()-t0:.0f}s), "
+                  f"eval via select_agents.py")
+        return
     for seed in args.seeds:
         run_dir = os.path.join(args.out, f"seed_{seed}")
         t0 = time.time()

@@ -1,0 +1,50 @@
+"""Vmapped population (zoo) training tests — learn/zoo.py."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from drone2d_tpu.config import EnvConfig, PPOConfig
+from drone2d_tpu.learn.zoo import ZooTrainer, save_zoo, train_zoo
+
+SMALL_ENV = dict(path_table_n=128, golden_iters=8)
+SMALL_PPO = dict(n_steps=8, num_minibatches=4, n_epochs=2)
+
+
+def test_zoo_update_shapes_and_divergence():
+    trainer = ZooTrainer(EnvConfig(**SMALL_ENV), PPOConfig(**SMALL_PPO), num_envs=8)
+    state = trainer.init([0, 1, 2])
+    assert state.params.log_std.shape[0] == 3
+    state2, metrics = trainer.update(state)
+    # every metric carries the population axis
+    assert metrics["loss"].shape == (3,)
+    assert metrics["episodes/success_rate"].shape == (3,)
+    assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+    # different seeds actually diverge (different init + episodes)
+    w = np.asarray(state2.params.pi[0].w)
+    assert not np.allclose(w[0], w[1])
+    assert float(state2.global_step[0]) == 8 * 8
+
+
+def test_train_zoo_writes_selectable_artifacts(tmp_path):
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from select_agents import find_candidates
+
+    from drone2d_tpu.eval.run import load_params
+
+    out = str(tmp_path / "zoo")
+    train_zoo(
+        EnvConfig(**SMALL_ENV), PPOConfig(**SMALL_PPO), 8,
+        seeds=[5, 6], total_timesteps=4 * 8 * 8, out_root=out,
+        snapshots=1, log_every=2,
+    )
+    cands = find_candidates([f"{out}/seed_5", f"{out}/seed_6"])
+    labels = [l for l, _, _ in cands]
+    assert "seed_5/final" in labels and "seed_6/final" in labels
+    assert any(l.startswith("seed_5/") and l != "seed_5/final" for l in labels), (
+        "snapshot ckpt_<step>.npz should be discovered: %s" % labels
+    )
+    for _, path, step in cands:
+        p = load_params(path, step)
+        assert np.all(np.isfinite(np.asarray(p.log_std)))
