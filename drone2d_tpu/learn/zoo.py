@@ -61,6 +61,39 @@ class ZooTrainer:
         return self._update(state)
 
 
+def shard_population(state: TrainState, mesh) -> TrainState:
+    """Lay the stacked population out over a device mesh: every leaf's
+    leading (agent) axis is sharded across the mesh's first axis.
+
+    Population training is embarrassingly parallel — each seed's update
+    touches only its own slice — so `jit(vmap(update))` on a state laid out
+    this way partitions with ZERO collectives: GSPMD propagates the input
+    sharding through the whole program and each device trains S/D seeds.
+    This is the multi-chip hunt: a pod trains the reference's entire
+    ~20-run selection campaign in one program with no inter-chip traffic.
+
+        mesh = make_mesh()                       # e.g. 8 chips
+        state = shard_population(trainer.init(range(32)), mesh)
+        state, metrics = trainer.update(state)   # 4 seeds per chip
+
+    Requires len(seeds) % mesh.devices.size == 0.
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    axis = mesh.axis_names[0]
+    S = jax.tree.leaves(state)[0].shape[0]
+    if S % mesh.devices.size:
+        raise ValueError(
+            f"population size {S} not divisible by {mesh.devices.size} devices"
+        )
+    # GSPMD auto propagation needs Auto-typed axes; jax.make_mesh (as used by
+    # parallel.make_mesh) yields Explicit axes on current JAX, under which
+    # eager/jit ops on the sharded state demand mesh-context plumbing.
+    # Rebuild the same device set as a classic Auto mesh.
+    auto_mesh = Mesh(np.asarray(mesh.devices).reshape(-1), (axis,))
+    return jax.device_put(state, NamedSharding(auto_mesh, PartitionSpec(axis)))
+
+
 def save_zoo(
     state: TrainState,
     seeds: Sequence[int],

@@ -26,6 +26,31 @@ def test_zoo_update_shapes_and_divergence():
     assert float(state2.global_step[0]) == 8 * 8
 
 
+def test_zoo_sharded_population_over_mesh():
+    """Population axis sharded over the 8-device CPU mesh: updates run with
+    per-device seed slices and no collectives (embarrassingly parallel)."""
+    from drone2d_tpu.learn.zoo import shard_population
+    from drone2d_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    trainer = ZooTrainer(EnvConfig(**SMALL_ENV), PPOConfig(**SMALL_PPO), num_envs=8)
+    state = shard_population(trainer.init(list(range(n_dev))), mesh)
+    state2, metrics = trainer.update(state)
+    assert metrics["loss"].shape == (n_dev,)
+    assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+    # output keeps the population sharding (no implicit gather to one device)
+    shd = state2.params.log_std.sharding
+    assert not shd.is_fully_replicated
+    # members still diverge per-seed
+    w = np.asarray(state2.params.pi[0].w)
+    assert not np.allclose(w[0], w[1])
+    # indivisible population is rejected
+    import pytest
+    with pytest.raises(ValueError, match="divisible"):
+        shard_population(trainer.init(list(range(n_dev + 1))), mesh)
+
+
 def test_train_zoo_writes_selectable_artifacts(tmp_path):
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
