@@ -10,7 +10,8 @@ import pytest
 _ART_DIR = os.path.join(os.path.dirname(__file__), "..", "artifacts")
 FLAGSHIPS = [
     os.path.join(_ART_DIR, name, "new_agent.npz")
-    for name in ("agent_s24", "agent_s45", "agent_s55", "agent_s103", "agent_s102", "agent_s115")
+    for name in ("agent_s24", "agent_s45", "agent_s55", "agent_s103",
+                 "agent_s102", "agent_s115", "agent_s125")
 ]
 
 pytestmark = pytest.mark.skipif(
@@ -20,7 +21,8 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.mark.parametrize(
-    "artifact", FLAGSHIPS, ids=["s24", "s45", "s55", "s103", "s102", "s115"]
+    "artifact", FLAGSHIPS,
+    ids=["s24", "s45", "s55", "s103", "s102", "s115", "s125"],
 )
 def test_flagship_loads_and_flies_corridor(artifact):
     from drone2d_tpu.eval.episode import run_episodes
@@ -61,3 +63,28 @@ def test_shipped_pair_covers_all_published_metrics():
                 best[s] = max(best[s], 100.0 * row["success_rate"])
     for scen, target in published.items():
         assert best[scen] >= target, (scen, best[scen], target)
+
+
+def test_single_agent_s125_covers_all_published_metrics():
+    """agent_s125 (seed 125, 3rd-quarter checkpoint) is the first SINGLE
+    agent to match-or-beat every published success rate (barplots.py:6-29),
+    under both the primary (seed 0) and robustness (seed 777) eval RNGs.
+    Asserted from the committed 100-episode campaign summaries."""
+    import json
+
+    published = {
+        "corridor": 88, "S_corridor": 71, "parallel": 55, "S_parallel": 3,
+        "perpendicular": 28, "large": 71, "impossible": 0,
+        "stage_1": 100, "stage_2": 96, "stage_3": 94, "stage_4": 48,
+        "stage_5": 49,
+    }
+    for fname in ("summary.json", "campaign_seed777_summary.json"):
+        path = os.path.join(_ART_DIR, "agent_s125", fname)
+        assert os.path.exists(path), path
+        with open(path) as f:
+            rates = {
+                row["scenario"]: 100.0 * row["success_rate"]
+                for row in json.load(f)["scenarios"]
+            }
+        for scen, target in published.items():
+            assert rates[scen] >= target, (fname, scen, rates[scen], target)
