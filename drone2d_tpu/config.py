@@ -204,9 +204,13 @@ class PPOConfig:
     # orthogonal init, state-independent log_std initialized to 0.
     hidden_sizes: Tuple[int, ...] = (64, 64)
     # minibatch shuffle: 'exact' = uniform random permutation per epoch (SB3
-    # semantics; sort-based, ~3 ms/epoch at 131k samples); 'affine' = random
-    # affine index bijection (sort-free, ~27% faster updates; a true
-    # permutation but not uniform over all orderings).
+    # semantics; the per-minibatch random-row gather dominates the SGD
+    # phase); 'affine' = random affine index bijection (sort-free; same
+    # gather cost); 'timeperm' = gather-free: permute only the time axis
+    # per epoch and slice contiguous minibatches (each = all envs at
+    # n_steps/num_minibatches random timesteps; needs n_steps %
+    # num_minibatches == 0).  See learn/ppo.py and docs/RESULTS.md for the
+    # measured throughput and quality parity.
     shuffle: str = "exact"
 
     def replace(self, **kw) -> "PPOConfig":

@@ -148,12 +148,21 @@ class PPOLearner:
                 f"num_minibatches={ppo_cfg.num_minibatches}"
             )
         self.minibatch_size = batch_size // ppo_cfg.num_minibatches
-        if ppo_cfg.shuffle not in ("exact", "affine"):
-            raise ValueError(f"shuffle must be 'exact' or 'affine', got {ppo_cfg.shuffle!r}")
+        if ppo_cfg.shuffle not in ("exact", "affine", "timeperm"):
+            raise ValueError(
+                "shuffle must be 'exact', 'affine' or 'timeperm', "
+                f"got {ppo_cfg.shuffle!r}"
+            )
         if ppo_cfg.shuffle == "affine" and batch_size & (batch_size - 1):
             raise ValueError(
                 "shuffle='affine' needs a power-of-two batch (odd multiplier "
                 f"bijection); n_steps*num_envs={batch_size}"
+            )
+        if ppo_cfg.shuffle == "timeperm" and ppo_cfg.n_steps % ppo_cfg.num_minibatches:
+            raise ValueError(
+                "shuffle='timeperm' slices minibatches as whole timesteps: "
+                f"n_steps={ppo_cfg.n_steps} must be divisible by "
+                f"num_minibatches={ppo_cfg.num_minibatches}"
             )
         self.tx = optax.chain(
             optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
@@ -300,49 +309,76 @@ class PPOLearner:
         )
 
         B = cfg.n_steps * self.num_envs
-        flat = jax.tree.map(
-            lambda x: x.reshape((B,) + x.shape[2:]),
-            (batch.obs, batch.actions, batch.log_probs, advantages, returns),
-        )
+        stacked = (batch.obs, batch.actions, batch.log_probs, advantages, returns)
 
-        def epoch_body(carry, _):
-            params, opt_state, rng = carry
-            rng, k_perm = jax.random.split(rng)
-            # Profiling (docs/RESULTS.md r2): materializing a shuffled copy
-            # of the whole batch per epoch was ~45% of the update.  Instead
-            # shuffle the 4-byte INDICES and gather each 2k-row minibatch
-            # inside the scan — same minibatch composition, ~20% faster.
-            if cfg.shuffle == "exact":
-                perm = jax.random.permutation(k_perm, B)
-            else:  # 'affine': sort-free random affine bijection i -> a*i+b
-                # (mod B).  a odd and B a power of two -> a is invertible, so
-                # this is a true permutation, just not uniformly distributed
-                # over all B! orderings.  Minibatch composition still mixes
-                # across epochs; use for throughput-critical runs.
-                ka, kb = jax.random.split(k_perm)
-                a = (jax.random.randint(ka, (), 0, B // 2) * 2 + 1).astype(jnp.uint32)
-                b = jax.random.randint(kb, (), 0, B).astype(jnp.uint32)
-                perm = (a * jnp.arange(B, dtype=jnp.uint32) + b) % B
-            idx_mb = perm.reshape(cfg.num_minibatches, self.minibatch_size)
-
-            def mb_body(carry, idx):
-                params, opt_state = carry
-                mb_data = jax.tree.map(lambda x: x[idx], flat)
-                (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
-                    params, *mb_data
-                )
-                if axis_name is not None:
-                    grads = jax.lax.pmean(grads, axis_name)
-                    loss = jax.lax.pmean(loss, axis_name)
-                    aux = jax.lax.pmean(aux, axis_name)
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), (loss, aux)
-
-            (params, opt_state), (losses, auxes) = jax.lax.scan(
-                mb_body, (params, opt_state), idx_mb
+        def mb_step(carry, mb_data):
+            params, opt_state = carry
+            (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                params, *mb_data
             )
-            return (params, opt_state, rng), (losses, auxes)
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+                loss = jax.lax.pmean(loss, axis_name)
+                aux = jax.lax.pmean(aux, axis_name)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, aux)
+
+        if cfg.shuffle == "timeperm":
+            # Gather-free shuffle.  Profiling (docs/RESULTS.md r2) showed the
+            # SGD phase is GATHER-bound: every epoch re-reads the whole batch
+            # through a random-row gather (explicitly per minibatch, or
+            # implicitly via a materialized permutation — same bytes, same
+            # cost), ~3x the compute floor.  Here each epoch permutes only
+            # the TIME axis — n_steps contiguous (num_envs x feat) blocks
+            # move at HBM streaming speed — and minibatches are contiguous
+            # slices: every minibatch holds ALL envs at n_steps/num_minibatches
+            # random timesteps.  Statistically close to exact shuffling (a
+            # uniformly shuffled minibatch also averages ~minibatch/num_envs
+            # samples per env); validated at quality parity in RESULTS.md.
+            def epoch_body(carry, _):
+                params, opt_state, rng = carry
+                rng, k_perm = jax.random.split(rng)
+                perm = jax.random.permutation(k_perm, cfg.n_steps)
+                xs = jax.tree.map(
+                    lambda x: x[perm].reshape(
+                        (cfg.num_minibatches, self.minibatch_size) + x.shape[2:]
+                    ),
+                    stacked,
+                )
+                (params, opt_state), (losses, auxes) = jax.lax.scan(
+                    mb_step, (params, opt_state), xs
+                )
+                return (params, opt_state, rng), (losses, auxes)
+        else:
+            flat = jax.tree.map(lambda x: x.reshape((B,) + x.shape[2:]), stacked)
+
+            def epoch_body(carry, _):
+                params, opt_state, rng = carry
+                rng, k_perm = jax.random.split(rng)
+                # Shuffle the 4-byte INDICES and gather each minibatch inside
+                # the scan (materializing a shuffled batch copy per epoch was
+                # measured slower; same gathered bytes plus a full write).
+                if cfg.shuffle == "exact":
+                    perm = jax.random.permutation(k_perm, B)
+                else:  # 'affine': sort-free random affine bijection i -> a*i+b
+                    # (mod B).  a odd and B a power of two -> a is invertible,
+                    # so this is a true permutation, just not uniformly
+                    # distributed over all B! orderings.  Minibatch composition
+                    # still mixes across epochs.
+                    ka, kb = jax.random.split(k_perm)
+                    a = (jax.random.randint(ka, (), 0, B // 2) * 2 + 1).astype(jnp.uint32)
+                    b = jax.random.randint(kb, (), 0, B).astype(jnp.uint32)
+                    perm = (a * jnp.arange(B, dtype=jnp.uint32) + b) % B
+                idx_mb = perm.reshape(cfg.num_minibatches, self.minibatch_size)
+
+                def mb_body(carry, idx):
+                    return mb_step(carry, jax.tree.map(lambda x: x[idx], flat))
+
+                (params, opt_state), (losses, auxes) = jax.lax.scan(
+                    mb_body, (params, opt_state), idx_mb
+                )
+                return (params, opt_state, rng), (losses, auxes)
 
         (params, opt_state, rng), (losses, auxes) = jax.lax.scan(
             epoch_body, (state.params, state.opt_state, state.rng), None,

@@ -174,6 +174,44 @@ def test_affine_shuffle_mode(learner):
         )
 
 
+def test_timeperm_shuffle_mode(learner):
+    # timeperm: gather-free epoch shuffle (permute the time axis, slice
+    # contiguous minibatches).  Update runs, learns, and the step counter
+    # advances identically to exact mode; validation rejects n_steps not
+    # divisible by num_minibatches.
+    tp = PPOLearner(
+        EnvConfig(**SMALL_ENV),
+        PPOConfig(n_steps=8, num_minibatches=4, n_epochs=2, shuffle="timeperm"),
+        num_envs=8,
+    )
+    state = jax.jit(tp.init)(jax.random.PRNGKey(0))
+    state2, metrics = tp.update_jit(state)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.global_step) == 8 * 8
+    delta = jax.tree.reduce(
+        lambda acc, leaf: acc + float(jnp.abs(leaf).sum()),
+        jax.tree.map(lambda a, b: a - b, state.params, state2.params),
+        0.0,
+    )
+    assert delta > 0.0
+
+    with pytest.raises(ValueError, match="timeperm"):
+        PPOLearner(
+            EnvConfig(**SMALL_ENV),
+            PPOConfig(n_steps=6, num_minibatches=4, n_epochs=2, shuffle="timeperm"),
+            num_envs=8,
+        )
+
+
+def test_timeperm_minibatches_partition_the_batch():
+    # every epoch must use each (t, env) sample exactly once: the permuted
+    # time axis reshaped to (num_minibatches, mb) is a partition of range(T)
+    T, NMB = 8, 4
+    perm = jax.random.permutation(jax.random.PRNGKey(3), T)
+    idx = np.asarray(perm).reshape(NMB, T // NMB)
+    assert sorted(idx.ravel().tolist()) == list(range(T))
+
+
 def test_affine_perm_is_bijection():
     # the a*i+b mod B map with odd a over power-of-two B is a permutation
     B = 1024
