@@ -33,17 +33,19 @@ REPEATS = 8
 BASELINE = 1_000_000.0  # env-steps/s target (BASELINE.json)
 
 # the quality-recipe update shape (docs/RESULTS.md: 1024 envs x 128 steps,
-# 64 minibatches x 10 epochs = 640 SGD steps per update)
+# 64 minibatches x 10 epochs = 640 SGD steps per update).  Default shuffle
+# is 'timeperm' — the gather-free mode validated at quality parity in
+# docs/RESULTS.md; pass --shuffle exact for the SB3-parity variant.
 TRAIN_NUM_ENVS = 1024
 TRAIN_PPO = dict(n_steps=128, num_minibatches=64, n_epochs=10)
 TRAIN_REPEATS = 5
 
 
-def bench_train() -> None:
+def bench_train(shuffle: str = "timeperm") -> None:
     """Time the full PPO update (rollout + GAE + minibatch SGD) exactly as
     `train.py` runs it — one jitted program per update, no host logging."""
     learner = PPOLearner(
-        EnvConfig(), PPOConfig(**TRAIN_PPO), TRAIN_NUM_ENVS
+        EnvConfig(), PPOConfig(**TRAIN_PPO, shuffle=shuffle), TRAIN_NUM_ENVS
     )
     state = jax.jit(learner.init)(jax.random.PRNGKey(0))
 
@@ -81,12 +83,16 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--train", action="store_true",
                    help="time the full quality-recipe PPO update instead")
+    p.add_argument("--shuffle", default="timeperm",
+                   choices=["exact", "affine", "timeperm"],
+                   help="shuffle mode for --train (default: timeperm, the "
+                   "gather-free mode validated at quality parity)")
     p.add_argument("--all", action="store_true", help="print both lines")
     args = p.parse_args()
 
     setup_runtime()
     if args.train or args.all:
-        bench_train()
+        bench_train(args.shuffle)
         if not args.all:
             return
     env_cfg = EnvConfig()

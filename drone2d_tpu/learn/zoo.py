@@ -7,16 +7,14 @@ Here the entire PPO update is pure over `TrainState`, so a population is
 just `jax.vmap(learner.update)` over a stacked state: S seeds roll out,
 compute GAE, and take their 640 SGD steps in lockstep in one XLA program.
 
-Why this is the TPU-native shape: the 2x64 MLP uses a tiny fraction of the
-chip per agent — the SGD phase is per-kernel-overhead-bound at ~94 us per
-minibatch step (docs/RESULTS.md round 2), with the actual math costing ~1 us.
-vmapping over the agent axis multiplies the per-kernel WORK by S while the
-per-kernel OVERHEAD stays constant, so population throughput approaches S
-agents for the price of ~1.
-
-Measured (one v5e chip, quality recipe 1024 envs x 128 steps x 640 SGD):
-see docs/RESULTS.md "Zoo training" — the per-seed rate multiplies several-fold
-vs sequential sweeps.
+Measured (one v5e chip, quality recipe 1024 envs x 128 steps x 640 SGD;
+docs/RESULTS.md "Zoo training"): under the default exact shuffle the
+batched minibatch gather scales with S and caps the win at ~9% over
+sequential runs, but with `PPOConfig.shuffle='timeperm'` (gather-free) a
+population of 8 trains at 4.26M total env-steps/s — 2.9x the sequential
+rate, with the rollout phase running at the env hot-loop's own speed.
+On a multi-chip mesh the population axis shards with zero collectives
+(`shard_population`), multiplying that rate by device count.
 
 Seed-selection campaigns pair this with `scripts/select_agents.py`
 (batched multi-agent eval) for an end-to-end hunt that never leaves the
@@ -148,7 +146,10 @@ def train_zoo(
     for u in range(1, n_updates + 1):
         state, metrics = trainer.update(state)
         if u == 1:
-            jax.block_until_ready(metrics["loss"])
+            # device_get, not block_until_ready: the latter has been observed
+            # returning before the dispatch queue drains on the remote axon
+            # backend, which would fold compile time into the printed rate
+            np.asarray(jax.device_get(metrics["loss"]))
             t0 = time.perf_counter()  # exclude compile from the rate
         if u % log_every == 0 or u == n_updates:
             sr = np.asarray(jax.device_get(metrics["episodes/success_rate"]))

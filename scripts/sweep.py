@@ -41,6 +41,10 @@ def main() -> None:
         "batches all seeds x checkpoints per scenario in one device program",
     )
     p.add_argument(
+        "--shuffle", default="exact", choices=["exact", "affine", "timeperm"],
+        help="PPO minibatch shuffle mode (config.PPOConfig.shuffle)",
+    )
+    p.add_argument(
         "--vmap", type=int, default=0, metavar="S",
         help="train seeds in vmapped populations of S (learn/zoo.py: one "
         "device program per S seeds, several-fold faster than sequential "
@@ -81,7 +85,8 @@ def main() -> None:
             train_zoo(
                 env_cfg,
                 PPOConfig(n_steps=args.n_steps,
-                          num_minibatches=args.num_minibatches),
+                          num_minibatches=args.num_minibatches,
+                          shuffle=args.shuffle),
                 args.num_envs, chunk, args.total_timesteps, args.out,
             )
             print(f"=== zoo chunk {chunk}: trained ({time.time()-t0:.0f}s), "
@@ -101,7 +106,8 @@ def main() -> None:
                 log_every_updates=20,
             ),
             env_cfg,
-            PPOConfig(n_steps=args.n_steps, num_minibatches=args.num_minibatches),
+            PPOConfig(n_steps=args.n_steps, num_minibatches=args.num_minibatches,
+                      shuffle=args.shuffle),
         )
         train_s = time.time() - t0
         if args.no_eval:
