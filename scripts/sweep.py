@@ -45,6 +45,11 @@ def main() -> None:
         help="PPO minibatch shuffle mode (config.PPOConfig.shuffle)",
     )
     p.add_argument(
+        "--snapshots", type=int, default=3,
+        help="intermediate per-seed checkpoints in --vmap mode (candidate "
+        "pool for select_agents.py; the all-12 agent_s125 came from one)",
+    )
+    p.add_argument(
         "--vmap", type=int, default=0, metavar="S",
         help="train seeds in vmapped populations of S (learn/zoo.py: one "
         "device program per S seeds, several-fold faster than sequential "
@@ -88,6 +93,7 @@ def main() -> None:
                           num_minibatches=args.num_minibatches,
                           shuffle=args.shuffle),
                 args.num_envs, chunk, args.total_timesteps, args.out,
+                snapshots=args.snapshots,
             )
             print(f"=== zoo chunk {chunk}: trained ({time.time()-t0:.0f}s), "
                   f"eval via select_agents.py")
