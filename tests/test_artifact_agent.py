@@ -11,7 +11,7 @@ _ART_DIR = os.path.join(os.path.dirname(__file__), "..", "artifacts")
 FLAGSHIPS = [
     os.path.join(_ART_DIR, name, "new_agent.npz")
     for name in ("agent_s24", "agent_s45", "agent_s55", "agent_s103",
-                 "agent_s102", "agent_s115", "agent_s125")
+                 "agent_s102", "agent_s115", "agent_s125", "agent_s309")
 ]
 
 pytestmark = pytest.mark.skipif(
@@ -22,7 +22,7 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.mark.parametrize(
     "artifact", FLAGSHIPS,
-    ids=["s24", "s45", "s55", "s103", "s102", "s115", "s125"],
+    ids=["s24", "s45", "s55", "s103", "s102", "s115", "s125", "s309"],
 )
 def test_flagship_loads_and_flies_corridor(artifact):
     from drone2d_tpu.eval.episode import run_episodes
@@ -88,3 +88,19 @@ def test_single_agent_s125_covers_all_published_metrics():
             }
         for scen, target in published.items():
             assert rates[scen] >= target, (fname, scen, rates[scen], target)
+
+
+def test_flagship_s309_mean_sr():
+    """agent_s309 (timeperm-trained, hunt 4) is the highest-mean flagship:
+    mean SR >= 0.80 over the 12-scenario suite under both committed eval
+    RNGs (measured 0.835 / 0.836)."""
+    import json
+
+    for fname in ("summary.json", "campaign_seed777_summary.json"):
+        path = os.path.join(_ART_DIR, "agent_s309", fname)
+        assert os.path.exists(path), path
+        with open(path) as f:
+            rows = json.load(f)["scenarios"]
+        assert len(rows) == 12
+        mean_sr = sum(r["success_rate"] for r in rows) / len(rows)
+        assert mean_sr >= 0.80, (fname, mean_sr)
