@@ -67,11 +67,20 @@ def _observe(
     pos_y = m1to1(y, 0.0, h)
 
     # --- k-nearest obstacles (:617-629, :660-720) --------------------------
+    # TPU notes (measured at 4096 envs, docs/RESULTS.md): (a) slice obstacle
+    # centers to separate x/y vectors once — (K, 2) arrays tile their minor
+    # dim to 128 lanes; (b) lax.top_k is sort-based and cost ~90 ns/env-step
+    # here, replaced by k unrolled argmin+mask passes; (c) all value lookups
+    # are one-hot reductions, never batched 1-element gathers.
     verts = geometry.frame_vertices(
         body.pos, alpha, cfg.drone_width / 2, cfg.drone_height / 4
     )
+    obs_x, obs_y = obstacles.xy[:, 0], obstacles.xy[:, 1]
     if obstacles.half_wh is None:  # circles-only fast path
-        d_all = geometry.vertex_circle_distances(verts, obstacles.xy, obstacles.r)
+        ddx = verts[:, 0:1] - obs_x[None, :]
+        ddy = verts[:, 1:2] - obs_y[None, :]
+        vdist = jnp.sqrt(ddx * ddx + ddy * ddy) - obstacles.r[None, :]
+        d_all = jnp.min(vdist, axis=0)
     else:
         d_all = geometry.vertex_rounded_box_distances(
             verts, obstacles.xy, obstacles.half_wh, obstacles.r
@@ -80,10 +89,19 @@ def _observe(
     n_obs = jnp.sum(obstacles.mask.astype(jnp.int32))
     k_obs = jnp.minimum(cfg.k_obs, n_obs)
 
-    neg_top, top_idx = jax.lax.top_k(-d_masked, cfg.k_obs)
-    top_d = -neg_top
-    ox = obstacles.xy[top_idx, 0]
-    oy = obstacles.xy[top_idx, 1]
+    iota = jnp.arange(d_masked.shape[0])
+    remaining = d_masked
+    top_d_l, ox_l, oy_l = [], [], []
+    for _ in range(cfg.k_obs):
+        i = jnp.argmin(remaining)
+        hit = iota == i
+        top_d_l.append(jnp.sum(jnp.where(hit, remaining, 0.0)))
+        ox_l.append(jnp.sum(jnp.where(hit, obs_x, 0.0)))
+        oy_l.append(jnp.sum(jnp.where(hit, obs_y, 0.0)))
+        remaining = jnp.where(hit, jnp.inf, remaining)
+    top_d = jnp.stack(top_d_l)
+    ox = jnp.stack(ox_l)
+    oy = jnp.stack(oy_l)
     # bearing: ssa(atan2(y - y_o, x - x_o) - alpha - pi)  (:695-696)
     ang = ssa(jnp.arctan2(y - oy, x - ox) - alpha - jnp.pi)
     slot_valid = jnp.arange(cfg.k_obs) < k_obs

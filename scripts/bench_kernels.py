@@ -35,20 +35,26 @@ def main() -> None:
     T = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 
     rng = np.random.default_rng(0)
-    table_xy = jnp.asarray(rng.uniform(0, 1300, (B, T, 2)), jnp.float32)
+    # structure-of-arrays table + one-hot refine, mirroring the production
+    # ops/path.closest_u (AoS (T, 2) tables and batched 1-element gathers
+    # were both measured pathological on TPU; see docs/RESULTS.md)
+    table_x = jnp.asarray(rng.uniform(0, 1300, (B, T)), jnp.float32)
+    table_y = jnp.asarray(rng.uniform(0, 1300, (B, T)), jnp.float32)
     table_u0 = jnp.full((B,), -10.0, jnp.float32)
     du = jnp.full((B,), 2.2, jnp.float32)
     pos = jnp.asarray(rng.uniform(0, 1300, (B, 2)), jnp.float32)
 
     @jax.jit
     def closest(pos):
-        d = table_xy - pos[:, None, :]
-        d2 = jnp.sum(d * d, axis=-1)
+        dx = table_x - pos[:, 0:1]
+        dy = table_y - pos[:, 1:2]
+        d2 = dx * dx + dy * dy
         idx = jnp.argmin(d2, axis=1)
-        take = lambda i: jnp.take_along_axis(d2, i[:, None], axis=1)[:, 0]
-        f0 = take(idx)
-        fa = take(jnp.maximum(idx - 1, 0))
-        fb = take(jnp.minimum(idx + 1, T - 1))
+        onehot = jnp.arange(T)[None, :] == idx[:, None]
+        pick = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=1)
+        f0 = pick(d2)
+        fa = pick(jnp.concatenate([d2[:, :1], d2[:, :-1]], axis=1))
+        fb = pick(jnp.concatenate([d2[:, 1:], d2[:, -1:]], axis=1))
         denom = fa - 2.0 * f0 + fb
         off = jnp.where(jnp.abs(denom) < _EPS, 0.0, 0.5 * du * (fa - fb) / denom)
         off = jnp.clip(off, -du, du)

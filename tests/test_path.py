@@ -123,8 +123,10 @@ def test_make_path_is_vmappable_and_jittable():
 
     make = jax.jit(jax.vmap(lambda w, n: jpath.make_path(w, n, table_n=TABLE_N)))
     pds = make(padded, ns)
-    assert pds.table_xy.shape == (3, TABLE_N, 2)
-    assert not np.any(np.isnan(np.asarray(pds.table_xy)))
+    assert pds.table_x.shape == (3, TABLE_N)
+    assert pds.table_y.shape == (3, TABLE_N)
+    assert not np.any(np.isnan(np.asarray(pds.table_x)))
+    assert not np.any(np.isnan(np.asarray(pds.table_y)))
 
     pos = jnp.asarray([[400.0, 600.0]] * 3, jnp.float32)
     cp = jax.jit(
