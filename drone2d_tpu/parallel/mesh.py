@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from drone2d_tpu.learn.ppo import PPOLearner, TrainState
 
@@ -82,7 +82,7 @@ def shard_init(mesh: Mesh, learner: PPOLearner, key: jax.Array) -> TrainState:
     # same pytree structure as local.init (axis_index-free, eval_shape-safe)
     spec = _state_spec(jax.eval_shape(local.init, key))
     f = shard_map(
-        init_shard, mesh=mesh, in_specs=(P(),), out_specs=spec, check_rep=False
+        init_shard, mesh=mesh, in_specs=(P(),), out_specs=spec, check_vma=False
     )
     return jax.jit(f)(key)
 
@@ -119,6 +119,6 @@ def shard_update(mesh: Mesh, learner: PPOLearner):
         mesh=mesh,
         in_specs=(st_spec,),
         out_specs=(st_spec, metrics_spec),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(f)
