@@ -193,8 +193,13 @@ def register_gym_envs() -> list:
             super().__init__()
             self._e = make(scenario, **overrides)
             self.render_mode = render_mode
+            # The reference declares Box[-1,1] (drone_2d_env.py:158-162) but
+            # several obs dims legitimately exceed it (velocity/target-delta
+            # terms are normalized, not clipped).  The legacy make() path
+            # keeps the reference-parity bounds; here we declare the honest
+            # space so gymnasium's passive env checker stays quiet.
             self.observation_space = g.spaces.Box(
-                -1.0, 1.0, (OBS_DIM,), np.float32
+                -np.inf, np.inf, (OBS_DIM,), np.float32
             )
             self.action_space = g.spaces.Box(-1.0, 1.0, (ACT_DIM,), np.float32)
 
