@@ -110,6 +110,15 @@ class EnvConfig:
     # near-/on-path obstacle) in the data mix so the final agent doesn't
     # forget them.  0.0 = reference schedule exactly.
     stage_mix_prob: float = 0.0
+    # Corridor rehearsal (framework knob, not in the reference): with this
+    # per-episode probability, replace the scheduled stage's obstacle field
+    # with corridor WALLS along the episode's random path — two rows of
+    # touching circles at a random lateral offset, the obstacle family of
+    # the corridor/S_corridor eval scenarios (test_scenarios.py:169-246)
+    # generalized to random training paths.  The reference curriculum never
+    # trains wall-structured fields (only isolated near-/on-path circles),
+    # which leaves corridor-following under-trained.  0.0 = off.
+    corridor_mix_prob: float = 0.0
 
     # --- framework capacity knobs (fixed shapes; not in the reference) ---
     max_wps: int = 16              # ≥ any scenario's waypoint count (large: 14)

@@ -339,12 +339,26 @@ class Drone2DEnv:
                     stage = jnp.where(mix, rand_stage, stage)
                     gs = jnp.where(mix, jnp.float32(-1.0), gs)
             oxy, orad, omask = scenarios.curriculum_obstacles(k_obs, cfg, pd, stage, gs)
+            corridor_mix = jnp.asarray(False)
+            if cfg.corridor_mix_prob > 0.0:
+                # corridor rehearsal: see EnvConfig.corridor_mix_prob.  Keys
+                # fold_in-derived so the default path's RNG streams (and the
+                # committed golden fixtures) stay bit-identical.
+                k_cflip = jax.random.fold_in(key, 7)
+                k_cor = jax.random.fold_in(key, 8)
+                corridor_mix = jax.random.bernoulli(k_cflip, cfg.corridor_mix_prob)
+                cxy, cr, cmask = scenarios.corridor_obstacles(k_cor, cfg, pd)
+                oxy = jnp.where(corridor_mix, cxy, oxy)
+                orad = jnp.where(corridor_mix, cr, orad)
+                omask = jnp.where(corridor_mix, cmask, omask)
             obstacles = ObstacleSet(xy=oxy, r=orad, mask=omask)
             # stage 2 spawns anywhere on screen (:329-333); others at path start
             rx = jax.random.uniform(k_sx, (), minval=100.0, maxval=cfg.screensize_x - 100.0)
             ry = jax.random.uniform(k_sy, (), minval=100.0, maxval=cfg.screensize_y - 100.0)
             start = pd.wps[0]
             pos = jnp.where(stage == 2, jnp.stack([rx, ry]), start)
+            # corridor episodes must start inside the corridor, not in a wall
+            pos = jnp.where(corridor_mix, start, pos)
 
         target = pd.wps[pd.n_wps - 1]
         body = physics.BodyState(

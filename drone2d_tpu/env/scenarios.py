@@ -323,6 +323,40 @@ def _sample_on_path_obstacle(key, pd: jpath.PathData,
     return jpath.path_point(pd, u), size
 
 
+def corridor_obstacles(key: jax.Array, cfg: EnvConfig, pd: jpath.PathData):
+    """Corridor walls along a (random) path — training-time rehearsal of the
+    corridor/S_corridor eval obstacle family (test_scenarios.py:20-52,
+    create_test_scenario corridor branches).
+
+    The eval scenarios build two offset paths and tile each with n touching
+    circles of radius (L - 2*free)/(2n) starting after a free end margin;
+    here the same recipe runs on the EPISODE's own random path using
+    per-point lateral normals (offset ~ U(90, 180) px vs the eval's fixed
+    ±100/±150), so the agent practices wall-following on path shapes it has
+    never seen.  Fixed shapes: n = (max_obs - 1)//2 circles per side
+    (31/side at max_obs=64 ≈ S_corridor's 30/side).
+
+    Returns (xy (max_obs, 2), r (max_obs,), mask (max_obs,)).
+    """
+    n = (cfg.max_obs - 1) // 2
+    free = 100.0
+    off = jax.random.uniform(key, (), minval=90.0, maxval=180.0)
+    size = (pd.length - 2.0 * free) / (2.0 * n)
+    # circle centers tile [free, L - free] at spacing 2*size (touching),
+    # mirroring the eval's `i * size * 2 + free` placement
+    us = free + size * (2.0 * jnp.arange(1, n + 1) - 1.0)
+    base = jax.vmap(lambda u: jpath.path_point(pd, u))(us)
+    pa = jax.vmap(lambda u: jpath.direction_angle(pd, u))(us) - jnp.pi / 2
+    normal = jnp.stack([jnp.cos(pa), jnp.sin(pa)], -1)
+    xy = jnp.concatenate([base + off * normal, base - off * normal], 0)
+    r = jnp.full((2 * n,), size)
+    pad = cfg.max_obs - 2 * n
+    xy = jnp.concatenate([xy, jnp.full((pad, 2), 1e6)], 0)
+    r = jnp.concatenate([r, jnp.zeros((pad,))], 0)
+    mask = jnp.arange(cfg.max_obs) < 2 * n
+    return xy.astype(jnp.float32), r.astype(jnp.float32), mask
+
+
 def curriculum_obstacles(
     key: jax.Array,
     cfg: EnvConfig,

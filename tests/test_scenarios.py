@@ -153,3 +153,44 @@ def test_parallel_boxes_scenario_runs_end_to_end():
     out3 = jax.jit(env.step)(state3, jnp.array([0.0, 0.0]))
     d = float(out3.info["dist_closest_obs"])
     assert 20.0 <= d <= 70.0, d
+
+
+def test_corridor_rehearsal_obstacles():
+    """corridor_obstacles: two wall rows of touching circles at ±offset
+    along a random path (EnvConfig.corridor_mix_prob rehearsal family)."""
+    import jax.numpy as jnp
+    from drone2d_tpu.ops import path as jpath
+
+    cfg = EnvConfig(path_table_n=128, corridor_mix_prob=1.0)
+    key = jax.random.PRNGKey(3)
+    wps = scenarios.random_corner_waypoints(jax.random.fold_in(key, 0), cfg)
+    pd = jpath.make_path(wps, jnp.int32(cfg.n_wps), table_n=cfg.path_table_n)
+    xy, r, mask = jax.jit(
+        lambda k: scenarios.corridor_obstacles(k, cfg, pd)
+    )(jax.random.fold_in(key, 1))
+
+    n_side = (cfg.max_obs - 1) // 2
+    assert xy.shape == (cfg.max_obs, 2) and r.shape == (cfg.max_obs,)
+    assert int(mask.sum()) == 2 * n_side
+    size = float(pd.length - 200.0) / (2 * n_side)
+    assert np.allclose(np.asarray(r)[: 2 * n_side], size, atol=1e-3)
+    # every wall circle sits 90-180 px laterally off the path
+    xy_np, mask_np = np.asarray(xy), np.asarray(mask)
+    tab = np.stack([np.asarray(pd.table_x), np.asarray(pd.table_y)], -1)
+    for p in xy_np[mask_np]:
+        d = np.min(np.linalg.norm(tab - p, axis=-1))
+        assert 80.0 <= d <= 190.0, d
+
+
+def test_corridor_mix_swaps_field_and_spawn():
+    """reset with corridor_mix_prob=1: field is the wall family, spawn at
+    path start.  (Default-config bit-identity is guarded by the golden
+    fixtures: corridor_mix_prob=0 never touches the new keys.)"""
+    cfg = EnvConfig(path_table_n=128, corridor_mix_prob=1.0)
+    env = Drone2DEnv(cfg)
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(7))
+    n_side = (cfg.max_obs - 1) // 2
+    assert int(state.obstacles.mask.sum()) == 2 * n_side
+    assert np.allclose(
+        np.asarray(state.body.pos), np.asarray(state.path.wps[0]), atol=1e-4
+    )
