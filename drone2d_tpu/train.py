@@ -144,10 +144,14 @@ def train(
 
 
 def main(argv=None) -> None:
-    from drone2d_tpu.utils.runtime import setup_runtime
+    from drone2d_tpu.utils.runtime import setup_runtime, wait_for_accelerator
 
     setup_runtime()
     args = build_parser().parse_args(argv)
+    if not wait_for_accelerator():
+        raise SystemExit(
+            "accelerator backend unavailable; aborting instead of hanging"
+        )
     train(
         _collect(args, "", TrainConfig),
         _collect(args, "env_", EnvConfig),

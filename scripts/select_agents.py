@@ -77,9 +77,11 @@ def main() -> None:
     p.add_argument("--out", default=None, help="summary JSON path")
     args = p.parse_args()
 
-    from drone2d_tpu.utils.runtime import setup_runtime
+    from drone2d_tpu.utils.runtime import setup_runtime, wait_for_accelerator
 
     setup_runtime()
+    if not wait_for_accelerator():
+        sys.exit("accelerator backend unavailable; aborting instead of hanging")
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -57,9 +57,13 @@ def main() -> None:
     )
     args = p.parse_args()
 
-    from drone2d_tpu.utils.runtime import setup_runtime
+    from drone2d_tpu.utils.runtime import setup_runtime, wait_for_accelerator
 
     setup_runtime()
+    if not wait_for_accelerator():
+        raise SystemExit(
+            "accelerator backend unavailable; aborting instead of hanging"
+        )
     from drone2d_tpu.config import ALL_SCENARIOS, EnvConfig, PPOConfig, TrainConfig
     from drone2d_tpu.eval.run import evaluate
     from drone2d_tpu.train import train
