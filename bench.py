@@ -78,7 +78,7 @@ def bench_train(shuffle: str = "timeperm") -> None:
 
 
 def main() -> None:
-    from drone2d_tpu.utils.runtime import setup_runtime
+    from drone2d_tpu.utils.runtime import setup_runtime, wait_for_accelerator
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--train", action="store_true",
@@ -91,6 +91,10 @@ def main() -> None:
     args = p.parse_args()
 
     setup_runtime()
+    # wedged-backend guard: probe in a subprocess (bounded) so an unreachable
+    # TPU tunnel aborts the bench with a message instead of hanging forever
+    if not wait_for_accelerator(retries=4, retry_wait_s=30.0):
+        raise SystemExit("accelerator backend unavailable; aborting bench")
     if args.train or args.all:
         bench_train(args.shuffle)
         if not args.all:
