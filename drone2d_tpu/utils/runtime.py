@@ -35,6 +35,9 @@ def wait_for_accelerator(
     # `platform` pins the child via jax.config (NOT the JAX_PLATFORMS env
     # var: this image's site hook force-registers the remote-TPU plugin from
     # the env var at backend init, so only the config route truly avoids it).
+    # Defaults to DRONE2D_PLATFORM so the probe targets the same backend the
+    # caller will run on (see setup_runtime).
+    platform = platform or os.environ.get("DRONE2D_PLATFORM")
     pin = (
         f"jax.config.update('jax_platforms', {platform!r}); " if platform else ""
     )
@@ -73,6 +76,17 @@ def setup_runtime(cache_dir: str | None = None) -> None:
     """Enable the persistent compilation cache + sane defaults.  Call before
     building any jitted function (importing jax is fine)."""
     import jax
+
+    # DRONE2D_PLATFORM=cpu runs any CLI on the host backend (e.g. when no
+    # accelerator is attached, or the remote-TPU tunnel is down).  Must use
+    # jax.config — the JAX_PLATFORMS env var cannot override this image's
+    # site hook (see wait_for_accelerator).
+    platform = os.environ.get("DRONE2D_PLATFORM")
+    if platform:
+        try:
+            jax.config.update("jax_platforms", platform)
+        except Exception:
+            pass
 
     cache_dir = cache_dir or os.environ.get(
         "DRONE2D_COMPILE_CACHE", os.path.expanduser("~/.cache/drone2d_tpu_xla")

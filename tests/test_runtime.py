@@ -33,6 +33,12 @@ def test_probe_gives_up_after_retries(monkeypatch):
     assert len(calls) == 3
 
 
+def test_probe_platform_from_env(monkeypatch):
+    # DRONE2D_PLATFORM=cpu must reach the probe child (CPU fallback mode).
+    monkeypatch.setenv("DRONE2D_PLATFORM", "cpu")
+    assert runtime.wait_for_accelerator(timeout_s=120.0, retries=1)
+
+
 def test_probe_reports_nonzero_exit(monkeypatch):
     class R:
         returncode = 1
