@@ -120,6 +120,15 @@ class EnvConfig:
     # which leaves corridor-following under-trained.  0.0 = off.
     corridor_mix_prob: float = 0.0
 
+    # Probability that a curriculum episode rehearses a CROSSING WALL: a row
+    # of touching circles perpendicular to the episode's random path at a
+    # random arc-length, the obstacle family of the perpendicular eval
+    # scenario (test_scenarios.py:4-30 perpendicular branch) generalized to
+    # random paths, radii, and lateral centering — trains the
+    # fly-around-the-wall-end maneuver that corridor rehearsal crowds out
+    # (docs/RESULTS.md hunt 7).  0.0 = off.
+    cross_mix_prob: float = 0.0
+
     # --- framework capacity knobs (fixed shapes; not in the reference) ---
     max_wps: int = 16              # ≥ any scenario's waypoint count (large: 14)
     max_obs: int = 64              # ≥ any scenario's obstacle count (S_corridor: 58)

@@ -351,14 +351,29 @@ class Drone2DEnv:
                 oxy = jnp.where(corridor_mix, cxy, oxy)
                 orad = jnp.where(corridor_mix, cr, orad)
                 omask = jnp.where(corridor_mix, cmask, omask)
+            cross_mix = jnp.asarray(False)
+            if cfg.cross_mix_prob > 0.0:
+                # crossing-wall rehearsal: see EnvConfig.cross_mix_prob.
+                # fold_in keys 9/10 keep the default path's RNG streams (and
+                # golden fixtures) bit-identical; when both rehearsals fire
+                # in one episode the crossing wall wins.
+                k_xflip = jax.random.fold_in(key, 9)
+                k_cross = jax.random.fold_in(key, 10)
+                cross_mix = jax.random.bernoulli(k_xflip, cfg.cross_mix_prob)
+                xxy, xr, xmask = scenarios.cross_obstacles(k_cross, cfg, pd)
+                oxy = jnp.where(cross_mix, xxy, oxy)
+                orad = jnp.where(cross_mix, xr, orad)
+                omask = jnp.where(cross_mix, xmask, omask)
             obstacles = ObstacleSet(xy=oxy, r=orad, mask=omask)
             # stage 2 spawns anywhere on screen (:329-333); others at path start
             rx = jax.random.uniform(k_sx, (), minval=100.0, maxval=cfg.screensize_x - 100.0)
             ry = jax.random.uniform(k_sy, (), minval=100.0, maxval=cfg.screensize_y - 100.0)
             start = pd.wps[0]
             pos = jnp.where(stage == 2, jnp.stack([rx, ry]), start)
-            # corridor episodes must start inside the corridor, not in a wall
-            pos = jnp.where(corridor_mix, start, pos)
+            # corridor episodes must start inside the corridor, not in a
+            # wall; crossing-wall episodes start at the path start so the
+            # wall is ahead of the drone
+            pos = jnp.where(corridor_mix | cross_mix, start, pos)
 
         target = pd.wps[pd.n_wps - 1]
         body = physics.BodyState(

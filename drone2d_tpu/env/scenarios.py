@@ -357,6 +357,39 @@ def corridor_obstacles(key: jax.Array, cfg: EnvConfig, pd: jpath.PathData):
     return xy.astype(jnp.float32), r.astype(jnp.float32), mask
 
 
+def cross_obstacles(key: jax.Array, cfg: EnvConfig, pd: jpath.PathData):
+    """A crossing wall on a (random) path — training-time rehearsal of the
+    perpendicular eval obstacle family (test_scenarios.py:4-30, the
+    perpendicular branch: 6 touching radius-20 circles centered across the
+    path midpoint).
+
+    Here the same wall is built on the EPISODE's own random path with a
+    random arc-length position u ~ U(0.3L, 0.7L), random circle radius
+    ~ U(15, 40), and a random lateral centering offset ~ U(-60, 60) px (the
+    eval wall is symmetric; off-center walls teach finding the shorter way
+    around either end).  Fixed shapes: 6 circles + padding to max_obs.
+
+    Returns (xy (max_obs, 2), r (max_obs,), mask (max_obs,)).
+    """
+    n = 6
+    k_u, k_r, k_c = jax.random.split(key, 3)
+    size = jax.random.uniform(k_r, (), minval=15.0, maxval=40.0)
+    u = pd.length * jax.random.uniform(k_u, (), minval=0.3, maxval=0.7)
+    base = jpath.path_point(pd, u)
+    ang = jpath.direction_angle(pd, u) - jnp.pi / 2
+    normal = jnp.stack([jnp.cos(ang), jnp.sin(ang)])
+    center = jax.random.uniform(k_c, (), minval=-60.0, maxval=60.0)
+    # touching circles tile offsets start, start-2r, ... (eval: start - i*2r)
+    offs = (n * size - size) - jnp.arange(n) * size * 2.0 + center
+    xy = base[None, :] + offs[:, None] * normal[None, :]
+    r = jnp.full((n,), size)
+    pad = cfg.max_obs - n
+    xy = jnp.concatenate([xy, jnp.full((pad, 2), 1e6)], 0)
+    r = jnp.concatenate([r, jnp.zeros((pad,))], 0)
+    mask = jnp.arange(cfg.max_obs) < n
+    return xy.astype(jnp.float32), r.astype(jnp.float32), mask
+
+
 def curriculum_obstacles(
     key: jax.Array,
     cfg: EnvConfig,

@@ -194,3 +194,62 @@ def test_corridor_mix_swaps_field_and_spawn():
     assert np.allclose(
         np.asarray(state.body.pos), np.asarray(state.path.wps[0]), atol=1e-4
     )
+
+
+def test_cross_rehearsal_obstacles():
+    """cross_obstacles: one row of 6 touching circles crossing a random path
+    (EnvConfig.cross_mix_prob rehearsal family, eval-perpendicular analog)."""
+    import jax.numpy as jnp
+    from drone2d_tpu.ops import path as jpath
+
+    cfg = EnvConfig(path_table_n=128, cross_mix_prob=1.0)
+    key = jax.random.PRNGKey(5)
+    wps = scenarios.random_corner_waypoints(jax.random.fold_in(key, 0), cfg)
+    pd = jpath.make_path(wps, jnp.int32(cfg.n_wps), table_n=cfg.path_table_n)
+    xy, r, mask = jax.jit(
+        lambda k: scenarios.cross_obstacles(k, cfg, pd)
+    )(jax.random.fold_in(key, 1))
+
+    assert xy.shape == (cfg.max_obs, 2) and r.shape == (cfg.max_obs,)
+    assert int(mask.sum()) == 6
+    xy_np, r_np = np.asarray(xy)[:6], np.asarray(r)[:6]
+    size = r_np[0]
+    assert 15.0 <= size <= 40.0 and np.allclose(r_np, size)
+    # touching: consecutive centers exactly 2r apart, and collinear
+    gaps = np.linalg.norm(np.diff(xy_np, axis=0), axis=-1)
+    assert np.allclose(gaps, 2 * size, atol=1e-2), gaps
+    v = xy_np[-1] - xy_np[0]
+    v = v / np.linalg.norm(v)
+    dev = (xy_np - xy_np[0]) - ((xy_np - xy_np[0]) @ v)[:, None] * v[None, :]
+    assert np.abs(dev).max() < 1e-2
+    # the wall actually crosses near the path: some circle center is within
+    # (centering offset 60 + wall half-length) of the path table
+    tab = np.stack([np.asarray(pd.table_x), np.asarray(pd.table_y)], -1)
+    dmin = min(
+        float(np.min(np.linalg.norm(tab - p, axis=-1))) for p in xy_np
+    )
+    assert dmin <= 2 * size + 60.0, dmin
+
+
+def test_cross_mix_swaps_field_and_spawn():
+    """reset with cross_mix_prob=1: field is the crossing wall, spawn at the
+    path start.  (Default-config bit-identity is guarded by the golden
+    fixtures: cross_mix_prob=0 never touches fold_in keys 9/10.)"""
+    cfg = EnvConfig(path_table_n=128, cross_mix_prob=1.0)
+    env = Drone2DEnv(cfg)
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(9))
+    assert int(state.obstacles.mask.sum()) == 6
+    assert np.allclose(
+        np.asarray(state.body.pos), np.asarray(state.path.wps[0]), atol=1e-4
+    )
+
+
+def test_cross_mix_wins_over_corridor_mix():
+    """When both rehearsal families fire in one episode the crossing wall
+    wins (documented priority in env.reset)."""
+    cfg = EnvConfig(
+        path_table_n=128, corridor_mix_prob=1.0, cross_mix_prob=1.0
+    )
+    env = Drone2DEnv(cfg)
+    state, _ = jax.jit(env.reset)(jax.random.PRNGKey(11))
+    assert int(state.obstacles.mask.sum()) == 6
