@@ -19,6 +19,7 @@ import dataclasses
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from drone2d_tpu.config import EnvConfig, PPOConfig, TrainConfig
@@ -56,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     _add_dataclass_args(p, "ppo_", PPOConfig)
     p.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
     p.add_argument("--max-updates", type=int, default=0, help="stop after N updates (0 = by timesteps)")
+    p.add_argument(
+        "--init-params", default=None, metavar="NPZ_OR_CKPT_DIR",
+        help="warm-start: initialize policy params from a saved agent "
+        "(.npz or orbax dir) with a FRESH optimizer, env batch, and "
+        "global_step — e.g. rehearsal fine-tuning of a trained agent on a "
+        "different episode mix. Unlike --resume, nothing else is restored.",
+    )
     return p
 
 
@@ -66,6 +74,7 @@ def train(
     *,
     resume: bool = False,
     max_updates: int = 0,
+    init_params: str | None = None,
 ) -> None:
     learner = PPOLearner(env_cfg, ppo_cfg, train_cfg.num_envs)
     mesh = make_mesh()
@@ -77,6 +86,20 @@ def train(
         print(f"resumed from step {start_step}")
     else:
         state = shard_init(mesh, learner, key)
+        if init_params:
+            # warm-start the policy only; optimizer/env/global_step stay
+            # fresh (a fine-tune, not a resume)
+            from drone2d_tpu.eval.run import load_params
+
+            loaded = load_params(init_params)
+            loaded = jax.tree.map(
+                lambda new, old: jax.device_put(
+                    jnp.asarray(new, old.dtype), old.sharding
+                ),
+                loaded, state.params,
+            )
+            state = state._replace(params=loaded)
+            print(f"warm-started params from {init_params}")
 
     upd = shard_update(mesh, learner)
     writer = MetricsWriter(
@@ -158,6 +181,7 @@ def main(argv=None) -> None:
         _collect(args, "ppo_", PPOConfig),
         resume=args.resume,
         max_updates=args.max_updates,
+        init_params=args.init_params,
     )
 
 

@@ -124,3 +124,45 @@ def test_train_cli_end_to_end(tmp_path):
     )
     rows = [json.loads(l) for l in open(f"{ckpt}/metrics.jsonl")]
     assert rows[-1]["global_step"] == 192
+
+
+def test_train_warm_start_from_npz(tmp_path):
+    """--init-params fine-tune: params come from the saved agent, while
+    optimizer/env/global_step start fresh (unlike --resume)."""
+    import numpy as np
+
+    from drone2d_tpu.eval.run import load_params
+    from drone2d_tpu.models.policy import params_to_flat_dict
+    from drone2d_tpu.train import train
+
+    base = str(tmp_path / "base")
+    train(
+        TrainConfig(
+            total_timesteps=128, num_envs=8, checkpoint_every_steps=64,
+            checkpoint_dir=base, metrics_path=f"{base}/metrics.jsonl",
+        ),
+        EnvConfig(**SMALL_ENV),
+        PPOConfig(**SMALL_PPO),
+    )
+
+    ft = str(tmp_path / "ft")
+    train(
+        TrainConfig(
+            total_timesteps=64, num_envs=8, checkpoint_every_steps=64,
+            checkpoint_dir=ft, metrics_path=f"{ft}/metrics.jsonl",
+        ),
+        EnvConfig(**SMALL_ENV),
+        PPOConfig(**SMALL_PPO),
+        init_params=f"{base}/new_agent.npz",
+    )
+    rows = [json.loads(l) for l in open(f"{ft}/metrics.jsonl")]
+    assert rows[-1]["global_step"] == 64  # fresh step counter, not resumed
+
+    # the fine-tuned agent genuinely started from the base params: one
+    # update at lr>0 moves them, so require close-but-not-unrelated — the
+    # relative drift after 1 tiny update is small vs typical param scale
+    a = params_to_flat_dict(load_params(f"{base}/new_agent.npz"))
+    b = params_to_flat_dict(load_params(f"{ft}/new_agent.npz"))
+    for k in a:
+        diff = float(np.max(np.abs(np.asarray(a[k]) - np.asarray(b[k]))))
+        assert diff < 0.1, (k, diff)
