@@ -125,14 +125,18 @@ def main() -> None:
     fn = jax.jit(chunk)
     env_state, obs, rng = state.env_state, state.obs, state.rng
 
-    # warmup / compile
+    import numpy as np
+
+    # warmup / compile; device_get forces a full round trip (same rationale
+    # as bench_train: on the remote axon backend a bare block_until_ready
+    # has been observed to return before the dispatch queue drains)
     env_state, obs, rng, r = fn(env_state, obs, rng)
-    jax.block_until_ready(r)
+    float(np.asarray(jax.device_get(r)))
 
     t0 = time.perf_counter()
     for _ in range(REPEATS):
         env_state, obs, rng, r = fn(env_state, obs, rng)
-    jax.block_until_ready(r)
+    float(np.asarray(jax.device_get(r)))
     dt = time.perf_counter() - t0
 
     steps = REPEATS * CHUNK_T * NUM_ENVS
