@@ -340,7 +340,11 @@ class Drone2DEnv:
                     gs = jnp.where(mix, jnp.float32(-1.0), gs)
             oxy, orad, omask = scenarios.curriculum_obstacles(k_obs, cfg, pd, stage, gs)
             corridor_mix = jnp.asarray(False)
-            if cfg.corridor_mix_prob > 0.0:
+            # rehearsal mixes are TRAINING-time data augmentation: like
+            # stage_mix above they must never fire under a forced-stage
+            # eval scenario (scenario='stage_k'), or per-stage benchmark
+            # measurements would silently include rehearsal episodes
+            if cfg.corridor_mix_prob > 0.0 and self._stage_override is None:
                 # corridor rehearsal: see EnvConfig.corridor_mix_prob.  Keys
                 # fold_in-derived so the default path's RNG streams (and the
                 # committed golden fixtures) stay bit-identical.
@@ -352,7 +356,7 @@ class Drone2DEnv:
                 orad = jnp.where(corridor_mix, cr, orad)
                 omask = jnp.where(corridor_mix, cmask, omask)
             cross_mix = jnp.asarray(False)
-            if cfg.cross_mix_prob > 0.0:
+            if cfg.cross_mix_prob > 0.0 and self._stage_override is None:
                 # crossing-wall rehearsal: see EnvConfig.cross_mix_prob.
                 # fold_in keys 9/10 keep the default path's RNG streams (and
                 # golden fixtures) bit-identical; when both rehearsals fire

@@ -52,6 +52,23 @@ STAGES_DATA: Dict[str, Dict[str, list]] = {
     },
 }
 
+# The framework's scenario keys for each published row above — the bridge
+# between the verbatim table labels and the eval harness's scenario names.
+_SCENARIO_KEYS = ["corridor", "S_corridor", "parallel", "S_parallel",
+                  "perpendicular", "large", "impossible"]
+_STAGE_KEYS = ["stage_1", "stage_2", "stage_3", "stage_4", "stage_5"]
+
+# Published "Reactive" success rates as fractions keyed by scenario name —
+# the single source for selection ranking (scripts/select_agents.py) and the
+# artifact regression tests (tests/test_artifact_agent.py); derived from the
+# verbatim tables above, never duplicated.
+PUBLISHED_SR: Dict[str, float] = {
+    **dict(zip(_SCENARIO_KEYS,
+               (v / 100.0 for v in SCENARIO_DATA["reactive"]["SR"]))),
+    **dict(zip(_STAGE_KEYS,
+               (v / 100.0 for v in STAGES_DATA["reactive"]["SR"]))),
+}
+
 _METRIC_TITLES = {
     "AAPE": ("Average APE [cm]", "AAPE"),
     "SR": ("Success rate [%]", "Success rate"),

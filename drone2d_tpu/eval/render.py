@@ -149,7 +149,11 @@ class SceneRenderer:
     def draw_reward_text(self, info: dict) -> None:
         """Per-step reward components as a top-left text column
         (drone_2d_env.py:788-819; gated by render_text there and here)."""
-        font = pygame.font.SysFont("freesansbold", 22)
+        font = getattr(self, "_text_font", None)
+        if font is None:
+            # SysFont does font-path matching per call; cache it — the live
+            # viewer calls this at up to 60 fps
+            font = self._text_font = pygame.font.SysFont("freesansbold", 22)
         lines = [
             (f"Total reward: {float(info['reward']):.2f}", (0, 0, 0)),
             (f"Collision avoidance: {float(info['collision_avoidance_reward']):.2f}", (0, 0, 0)),

@@ -138,9 +138,13 @@ def train_zoo(
     state = trainer.init(seeds)
     spu = trainer.steps_per_update
     n_updates = max((total_timesteps + spu - 1) // spu, 1)
+    # clamp into [1, n_updates-1]: update 0 never fires (u starts at 1) and
+    # n_updates would duplicate the final save; short runs get fewer
+    # (distinct) snapshots than asked rather than silent dupes
     snap_at = {
-        round(n_updates * (i + 1) / (snapshots + 1)) for i in range(snapshots)
-    }
+        min(max(round(n_updates * (i + 1) / (snapshots + 1)), 1), n_updates - 1)
+        for i in range(snapshots)
+    } if n_updates > 1 else set()
 
     t0 = time.perf_counter()
     for u in range(1, n_updates + 1):

@@ -127,8 +127,11 @@ def train(
             gs += steps_per_update
             if n_updates == 1:
                 # first update is dominated by XLA compilation; restart the
-                # throughput clock so steps/s reflects steady state
-                jax.block_until_ready(metrics["loss"])
+                # throughput clock so steps/s reflects steady state.
+                # device_get, not block_until_ready: the latter has been
+                # observed returning before the remote backend's dispatch
+                # queue drains, which would fold compile time into the rate
+                float(np.asarray(jax.device_get(metrics["loss"])))
                 t0 = time.perf_counter()
             if n_updates % train_cfg.log_every_updates == 0:
                 m = {k: float(np.asarray(v)) for k, v in jax.device_get(metrics).items()}

@@ -71,18 +71,21 @@ def restore_checkpoint(
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {directory!r}")
     template = jax.eval_shape(learner.init, key)
-    payload = mgr.restore(
-        step,
-        args=ocp.args.StandardRestore(
-            dict(
-                params=template.params,
-                opt_state=template.opt_state,
-                rng=jax.ShapeDtypeStruct((2,), np.uint32),
-                global_step=0,
-                episodes_total=0,
-            )
-        ),
+    restore_tpl = dict(
+        params=template.params,
+        opt_state=template.opt_state,
+        rng=jax.ShapeDtypeStruct((2,), np.uint32),
+        global_step=0,
+        episodes_total=0,
     )
+    try:
+        payload = mgr.restore(step, args=ocp.args.StandardRestore(restore_tpl))
+    except ValueError:
+        # checkpoints written before episodes_total existed lack the key and
+        # orbax rejects a template with extra keys; retry without it (the
+        # .get() fallback below seeds the counter at 0)
+        restore_tpl.pop("episodes_total")
+        payload = mgr.restore(step, args=ocp.args.StandardRestore(restore_tpl))
     mgr.close()
     rng = jax.random.wrap_key_data(np.asarray(payload["rng"], np.uint32))
     env_state, obs = learner.env.reset_batch(

@@ -30,17 +30,21 @@ class MetricsWriter:
         self._episodes_total = 0
         if resume and os.path.exists(jsonl_path):
             # seed the cumulative counter from the last row already on disk
-            # so time/episodes survives checkpoint-resume
+            # so time/episodes survives checkpoint-resume (train.py then
+            # overrides it from the device accumulator; this fallback covers
+            # writers without one).  Parse only the final non-empty line.
+            last = ""
             with open(jsonl_path) as f:
                 for line in f:
-                    line = line.strip()
-                    if line:
-                        try:
-                            self._episodes_total = int(
-                                json.loads(line).get("time/episodes", 0)
-                            )
-                        except json.JSONDecodeError:
-                            pass
+                    if line.strip():
+                        last = line
+            if last:
+                try:
+                    self._episodes_total = int(
+                        json.loads(last).get("time/episodes", 0)
+                    )
+                except json.JSONDecodeError:
+                    pass
         self._f = open(jsonl_path, "a", buffering=1)
         self._tb = None
         if tensorboard_dir is not None:
@@ -71,6 +75,9 @@ class MetricsWriter:
     def write(self, step: int, metrics: Dict[str, float]) -> None:
         row = {"global_step": int(step), "time": time.time()}
         for k, v in metrics.items():
+            if k == "global_step":
+                continue  # the exact host-side step argument wins over the
+                # device's float32 copy (which rounds past 2^24 steps)
             row[k] = float(np.asarray(v))
         # reference channel time/episodes is the cumulative finished count,
         # fed by add_episodes() every update

@@ -20,13 +20,15 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from drone2d_tpu.utils.runtime import setup_runtime
+from drone2d_tpu.utils.runtime import setup_runtime, wait_for_accelerator
 
 _EPS = 1e-9
 
 
 def main() -> None:
     setup_runtime()
+    if not wait_for_accelerator():
+        raise SystemExit("accelerator backend unavailable; aborting bench")
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -27,14 +27,9 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# Reference barplots.py:6-29 "Reactive" success rates (fractions).
-PUBLISHED_SR = {
-    "corridor": 0.88, "S_corridor": 0.71, "parallel": 0.55,
-    "S_parallel": 0.03, "perpendicular": 0.28, "large": 0.71,
-    "impossible": 0.00,
-    "stage_1": 1.00, "stage_2": 0.96, "stage_3": 0.94,
-    "stage_4": 0.48, "stage_5": 0.49,
-}
+# Reference barplots.py:6-29 "Reactive" success rates (fractions) — single
+# source shared with the artifact regression tests.
+from drone2d_tpu.eval.barplots import PUBLISHED_SR
 
 
 def find_candidates(run_dirs, finals_only=False):

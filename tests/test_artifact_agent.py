@@ -47,12 +47,9 @@ def test_shipped_pair_covers_all_published_metrics():
     campaign summaries, so any artifact regression fails fast."""
     import json
 
-    published = {
-        "corridor": 88, "S_corridor": 71, "parallel": 55, "S_parallel": 3,
-        "perpendicular": 28, "large": 71, "impossible": 0,
-        "stage_1": 100, "stage_2": 96, "stage_3": 94, "stage_4": 48,
-        "stage_5": 49,
-    }
+    from drone2d_tpu.eval.barplots import PUBLISHED_SR
+
+    published = {k: 100.0 * v for k, v in PUBLISHED_SR.items()}
     best = {k: 0.0 for k in published}
     for name in ("agent_s103", "agent_s102"):
         path = os.path.join(_ART_DIR, name, "summary.json")
@@ -72,12 +69,9 @@ def test_single_agent_s125_covers_all_published_metrics():
     Asserted from the committed 100-episode campaign summaries."""
     import json
 
-    published = {
-        "corridor": 88, "S_corridor": 71, "parallel": 55, "S_parallel": 3,
-        "perpendicular": 28, "large": 71, "impossible": 0,
-        "stage_1": 100, "stage_2": 96, "stage_3": 94, "stage_4": 48,
-        "stage_5": 49,
-    }
+    from drone2d_tpu.eval.barplots import PUBLISHED_SR
+
+    published = {k: 100.0 * v for k, v in PUBLISHED_SR.items()}
     for fname in ("summary.json", "campaign_seed777_summary.json"):
         path = os.path.join(_ART_DIR, "agent_s125", fname)
         assert os.path.exists(path), path

@@ -162,11 +162,21 @@ def test_stage_mix_rehearses_all_stages():
 
 def test_stage_mix_never_applies_to_forced_stage_eval():
     """Forced-stage eval scenarios (scenario='stage_k') ignore rehearsal —
-    the published per-stage benchmarks must stay pure."""
-    env = Drone2DEnv(CFG.replace(scenario="stage_1", stage_mix_prob=1.0))
+    the published per-stage benchmarks must stay pure.  Applies to ALL
+    rehearsal families: stage_mix, corridor_mix, cross_mix."""
     ks = jax.random.split(jax.random.PRNGKey(8), 32)
+    env = Drone2DEnv(CFG.replace(scenario="stage_1", stage_mix_prob=1.0))
     s, _ = jax.jit(jax.vmap(lambda k: env.reset(k, 0)))(ks)
     assert np.all(np.asarray(jnp.sum(s.obstacles.mask, axis=-1)) == 0)
+
+    env2 = Drone2DEnv(
+        CFG.replace(scenario="stage_1", corridor_mix_prob=1.0,
+                    cross_mix_prob=1.0)
+    )
+    s2, _ = jax.jit(jax.vmap(lambda k: env2.reset(k, 0)))(ks)
+    # stage 1 has no obstacles; any corridor wall / crossing wall leaking in
+    # would show up as a non-empty obstacle mask
+    assert np.all(np.asarray(jnp.sum(s2.obstacles.mask, axis=-1)) == 0)
 
 
 def test_stage2_spawns_anywhere_stage1_at_start():

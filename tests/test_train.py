@@ -35,6 +35,41 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(state2.global_step) == 2 * 8 * 8
 
 
+def test_restore_checkpoint_without_episodes_total(tmp_path):
+    """Checkpoints written before TrainState.episodes_total existed lack the
+    key; restore must tolerate them (counter seeds at 0) instead of orbax
+    rejecting the template as a tree-structure mismatch."""
+    import orbax.checkpoint as ocp
+
+    learner = PPOLearner(EnvConfig(**SMALL_ENV), PPOConfig(**SMALL_PPO), num_envs=8)
+    state = jax.jit(learner.init)(jax.random.PRNGKey(0))
+    state, _ = learner.update_jit(state)
+
+    # simulate the old save format: same payload minus episodes_total
+    step = int(np.asarray(jax.device_get(state.global_step)))
+    payload = dict(
+        params=jax.device_get(state.params),
+        opt_state=jax.device_get(state.opt_state),
+        rng=jax.device_get(jax.random.key_data(state.rng)),
+        global_step=step,
+    )
+    mgr = ocp.CheckpointManager(
+        os.path.abspath(str(tmp_path / "old_ckpt")),
+        options=ocp.CheckpointManagerOptions(create=True),
+    )
+    mgr.save(step, args=ocp.args.StandardSave(payload))
+    mgr.wait_until_finished()
+    mgr.close()
+
+    restored, rstep = restore_checkpoint(
+        str(tmp_path / "old_ckpt"), learner, jax.random.PRNGKey(1)
+    )
+    assert rstep == step
+    assert int(np.asarray(restored.episodes_total)) == 0
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_global_step_counts_past_int32_wrap():
     """TrainState.global_step is a float32 counter advanced by one exact add
     of n_steps*step_increment per update — it must keep counting exactly past
