@@ -217,6 +217,16 @@ def register_gym_envs() -> list:
 
     from drone2d_tpu.config import ALL_SCENARIOS
 
+    # gymnasium (not classic gym) also gets the batched VectorEnv entry
+    # point: gym.make_vec("drone2d_tpu/<scenario>-v0", num_envs=N) — the
+    # reference's SubprocVecEnv capability as one on-device program
+    # (compat/vector_env.py)
+    vector_kwargs = {}
+    if hasattr(g, "make_vec"):
+        from drone2d_tpu.compat.vector_env import Drone2dVectorEnv
+
+        vector_kwargs = {"vector_entry_point": Drone2dVectorEnv}
+
     registered = []
     specs = [("curriculum", None)] + [(s, s) for s in ALL_SCENARIOS]
     for name, scenario in specs:
@@ -229,6 +239,7 @@ def register_gym_envs() -> list:
                 entry_point=_Adapter,
                 kwargs={"scenario": scenario},
                 max_episode_steps=None,  # the env truncates itself at n_steps
+                **vector_kwargs,
             )
             registered.append(env_id)
         except Exception:

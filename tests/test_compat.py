@@ -127,3 +127,60 @@ def test_agent_name_derivation():
     assert _derive_agent_name("agent-s63.npz") == "agent_s63"
     assert _derive_agent_name("logs/ckpt/") == "ckpt"
     assert _derive_agent_name("random") == "random"
+
+
+def test_vector_env_step_and_autoreset():
+    """Drone2dVectorEnv conforms to the gymnasium VectorEnv surface with
+    NEXT_STEP autoreset: a truncated env returns (reset obs, reward 0,
+    not done) on the following step with its info masked out."""
+    gym = pytest.importorskip("gymnasium")
+    from drone2d_tpu.compat import Drone2dVectorEnv
+
+    n = 4
+    env = Drone2dVectorEnv(
+        num_envs=n, scenario="large", path_table_n=128, n_steps=5
+    )
+    assert env.metadata["autoreset_mode"] is gym.vector.AutoresetMode.NEXT_STEP
+    assert env.single_observation_space.shape == (27,)
+    assert env.observation_space.shape == (n, 27)
+
+    obs, infos = env.reset(seed=0)
+    assert obs.shape == (n, 27) and obs.dtype == np.float32
+
+    actions = np.zeros((n, 2), np.float32)
+    for t in range(5):
+        obs, reward, terminated, truncated, infos = env.step(actions)
+        assert obs.shape == (n, 27) and reward.shape == (n,)
+        assert terminated.dtype == bool and truncated.dtype == bool
+        assert not np.any(terminated & truncated)
+        assert "APE" in infos and "_APE" in infos
+    # hovering to the 5-step cap truncates every env...
+    assert np.all(truncated) and not np.any(terminated)
+    # ...and the NEXT step is the reset transition: reward 0, not done,
+    # info masked out for the resetting envs
+    obs2, reward2, terminated2, truncated2, infos2 = env.step(actions)
+    assert np.all(reward2 == 0.0)
+    assert not np.any(terminated2 | truncated2)
+    assert not np.any(infos2["_APE"])
+    assert np.all(np.isfinite(obs2))
+    env.close()
+    assert env.closed
+
+
+def test_vector_env_via_make_vec():
+    """gymnasium.make_vec resolves the registered vector entry point to the
+    batched on-device env (the reference's SubprocVecEnv capability)."""
+    gym = pytest.importorskip("gymnasium")
+    from drone2d_tpu.compat import Drone2dVectorEnv, register_gym_envs
+
+    register_gym_envs()
+    env = gym.make_vec(
+        "drone2d_tpu/corridor-v0", num_envs=3, path_table_n=128, n_steps=8
+    )
+    assert isinstance(env.unwrapped, Drone2dVectorEnv)
+    assert env.num_envs == 3
+    obs, _ = env.reset(seed=1)
+    assert obs.shape == (3, 27)
+    obs, reward, terminated, truncated, infos = env.step(np.zeros((3, 2)))
+    assert reward.shape == (3,)
+    env.close()
