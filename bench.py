@@ -88,6 +88,11 @@ def main() -> None:
                    help="shuffle mode for --train (default: timeperm, the "
                    "gather-free mode validated at quality parity)")
     p.add_argument("--all", action="store_true", help="print both lines")
+    p.add_argument("--num-envs", type=int, default=NUM_ENVS,
+                   help="env batch for the hot-loop line (scaling experiments; "
+                   "the headline default is 4096)")
+    p.add_argument("--chunk", type=int, default=CHUNK_T,
+                   help="steps per timed device program (default 256)")
     args = p.parse_args()
 
     setup_runtime()
@@ -99,14 +104,15 @@ def main() -> None:
         bench_train(args.shuffle)
         if not args.all:
             return
+    num_envs, chunk_t = args.num_envs, args.chunk
     env_cfg = EnvConfig()
-    learner = PPOLearner(env_cfg, PPOConfig(), NUM_ENVS)
+    learner = PPOLearner(env_cfg, PPOConfig(), num_envs)
     state = jax.jit(learner.init)(jax.random.PRNGKey(0))
 
     def chunk(env_state, obs, rng):
         # per-chunk reset templates, as in the real training rollout
         rng, k_template = jax.random.split(rng)
-        reset_state, reset_obs = learner.env.reset_batch(k_template, NUM_ENVS, 0)
+        reset_state, reset_obs = learner.env.reset_batch(k_template, num_envs, 0)
 
         def step_fn(carry, _):
             env_state, obs, rng = carry
@@ -118,7 +124,7 @@ def main() -> None:
             return (out.state, out.obs, rng), out.reward
 
         (env_state, obs, rng), rewards = jax.lax.scan(
-            step_fn, (env_state, obs, rng), None, length=CHUNK_T
+            step_fn, (env_state, obs, rng), None, length=chunk_t
         )
         return env_state, obs, rng, jnp.sum(rewards)
 
@@ -139,7 +145,7 @@ def main() -> None:
     float(np.asarray(jax.device_get(r)))
     dt = time.perf_counter() - t0
 
-    steps = REPEATS * CHUNK_T * NUM_ENVS
+    steps = REPEATS * chunk_t * num_envs
     rate = steps / dt
     print(
         json.dumps(
