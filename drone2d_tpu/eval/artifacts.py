@@ -73,7 +73,10 @@ def write_campaign(
     np.save(os.path.join(file_path, "apes.npy"), results.ape)
     np.save(os.path.join(file_path, "time_spent.npy"), results.time_steps)
 
-    agent_nr = agent.split("_")[-1]
+    # reference files are <scenario>_<nr>_results.txt for agent_<nr> names
+    # (main.py:319-327); for other agent names ('new_agent') keep the full
+    # name rather than a mangled last token ('agent')
+    agent_nr = agent[6:] if agent.startswith("agent_") and len(agent) > 6 else agent
     results_txt = os.path.join(file_path, f"{scenario}_{agent_nr}_results.txt")
     with open(results_txt, "w") as f:
         f.write(f"Successes: {successes}\n")

@@ -82,9 +82,17 @@ def load_campaign_data(tests_root: str, agent: str) -> Dict[str, Dict[str, list]
     as written by drone2d_tpu.eval.artifacts) into the barplot table format."""
     agent_dir = os.path.join(tests_root, agent)
     rows: Dict[str, Dict[str, float]] = {}
-    for test_dir in sorted(os.listdir(agent_dir)):
+    # numeric sort: lexicographic would put test_10 before test_2 and let a
+    # stale campaign overwrite a newer one (artifacts._campaign_dirs bumps k
+    # per re-run; later must win)
+    test_dirs = sorted(
+        (d for d in os.listdir(agent_dir)
+         if d.startswith("test_") and d.split("_")[1].isdigit()),
+        key=lambda d: int(d.split("_")[1]),
+    )
+    for test_dir in test_dirs:
         base = os.path.join(agent_dir, test_dir)
-        if not (test_dir.startswith("test_") and os.path.isdir(base)):
+        if not os.path.isdir(base):
             continue
         for scen in sorted(os.listdir(base)):
             sdir = os.path.join(base, scen)

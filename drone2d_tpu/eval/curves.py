@@ -75,6 +75,13 @@ def main(argv=None) -> None:
     p.add_argument("--labels", nargs="*", default=None)
     args = p.parse_args(argv)
     labels = args.labels or [os.path.dirname(m) or m for m in args.metrics]
+    if len(labels) != len(args.metrics):
+        raise SystemExit(
+            f"--labels needs one label per metrics file "
+            f"({len(labels)} labels, {len(args.metrics)} files)"
+        )
+    if len(set(labels)) != len(labels):
+        raise SystemExit(f"duplicate labels would collapse runs: {labels}")
     runs = {lab: load_metrics(m) for lab, m in zip(labels, args.metrics)}
     plot_curves(runs, args.out)
     print(f"wrote {args.out}")

@@ -79,6 +79,11 @@ def _episode_runner(
                 action = jnp.clip(mean + jnp.exp(log_std) * noise, -1.0, 1.0)
             out = env.step(state, action)
             first_done = out.done & ~done
+            # NB: an episode whose reach-end (end2) and step-cap (end4) fire
+            # on the same step latches BOTH success and fail — deliberate
+            # reference parity: its independent `if end_cond_*` blocks set
+            # n_successful_runs and n_failed_runs the same way
+            # (drone_2d_env.py:596-610), and its test harness sums both
             new_metrics = dict(
                 success=metrics["success"] | (first_done & (out.info["n_successful_runs"] == 1)),
                 fail=metrics["fail"] | (first_done & (out.info["n_failed_runs"] == 1)),

@@ -59,6 +59,7 @@ class SceneRenderer:
         pygame.init()
         self.surface = pygame.Surface((self.w, self.h))
         self.geometry = None
+        self._scene_coords = None  # cached static-path polyline (test mode)
         if cfg.mode == "test":
             self.geometry = scen_mod.build_test_scenario(cfg)
 
@@ -77,10 +78,14 @@ class SceneRenderer:
         s.fill(BG)
 
         if path_coords is None and self.geometry is not None:
-            from drone2d_tpu.utils.host_path import HostQPMI
+            if self._scene_coords is None:
+                # the test-scenario path is static: fit + sample it once, not
+                # per frame (episode_gif/live render call draw_scene per frame)
+                from drone2d_tpu.utils.host_path import HostQPMI
 
-            host = HostQPMI(self.geometry.wps[: self.geometry.n_wps])
-            path_coords = host.coords(100)
+                host = HostQPMI(self.geometry.wps[: self.geometry.n_wps])
+                self._scene_coords = host.coords(100)
+            path_coords = self._scene_coords
         if path_coords is not None and len(path_coords) > 1:
             pts = [(float(x), _flip(float(y), h)) for x, y in path_coords]
             pygame.draw.circle(s, PATH_COLOR, pts[0], 5)
@@ -373,15 +378,17 @@ def episode_gif(
     import imageio
 
     r = SceneRenderer(cfg)
-    frames = []
     trail: list = []
-    for t in range(0, int(traj_len), every):
-        r.draw_scene()
-        x, y = float(traj[t, 0]), float(traj[t, 1])
-        trail.append((x, _flip(y, cfg.screensize_y)))
-        if len(trail) > 2:
-            r.draw_flight_path(trail, (16, 19, 97))
-        r.draw_drone((x, y), float(angles[t]) if angles is not None else 0.0)
-        frames.append(r.frame())
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    imageio.mimsave(out_path, frames, fps=fps)
+    # stream frames straight to the encoder: a cap-length episode at the
+    # default 1300x1300 screen is ~550 frames x ~5 MB — accumulating them in
+    # a list (as mimsave needs) peaks at multi-GB RSS
+    with imageio.get_writer(out_path, mode="I", fps=fps) as w:
+        for t in range(0, int(traj_len), every):
+            r.draw_scene()
+            x, y = float(traj[t, 0]), float(traj[t, 1])
+            trail.append((x, _flip(y, cfg.screensize_y)))
+            if len(trail) > 2:
+                r.draw_flight_path(trail, (16, 19, 97))
+            r.draw_drone((x, y), float(angles[t]) if angles is not None else 0.0)
+            w.append_data(r.frame())

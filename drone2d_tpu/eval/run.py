@@ -144,9 +144,13 @@ def evaluate(
 
 
 def main(argv=None) -> None:
-    from drone2d_tpu.utils.runtime import setup_runtime
+    from drone2d_tpu.utils.runtime import setup_runtime, wait_for_accelerator
 
     setup_runtime()
+    if not wait_for_accelerator():
+        raise SystemExit(
+            "accelerator backend unavailable; aborting instead of hanging"
+        )
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--agent", required=True,
                    help=".npz params, orbax checkpoint dir, or 'random'")

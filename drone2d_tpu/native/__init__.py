@@ -29,14 +29,24 @@ def _build() -> None:
     src = os.path.join(_SRC_DIR, "drone2d_core.cpp")
     if not os.path.exists(src):
         raise NativeUnavailable(f"native source missing: {src}")
+    # build to a per-process temp path and os.replace into place: on a fresh
+    # clone all pytest-xdist workers build concurrently, and writing the
+    # final path directly would let one worker dlopen a half-written .so
+    # (an interrupted build would also leave a fresh-mtime corrupt file that
+    # is never rebuilt)
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     try:
         subprocess.run(
-            ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-o", _LIB_PATH, src],
+            ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-o", tmp, src],
             check=True, capture_output=True, text=True,
         )
+        os.replace(tmp, _LIB_PATH)
     except (FileNotFoundError, subprocess.CalledProcessError) as e:
         detail = getattr(e, "stderr", str(e))
         raise NativeUnavailable(f"g++ build failed: {detail}") from e
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _load() -> ctypes.CDLL:
@@ -49,7 +59,16 @@ def _load() -> ctypes.CDLL:
         and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
     ):
         _build()
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        # stale/corrupt artifact (e.g. from an old interrupted build):
+        # rebuild once, then let a persistent failure surface as skippable
+        _build()
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:
+            raise NativeUnavailable(f"cannot dlopen {_LIB_PATH}: {e}") from e
 
     D = ctypes.c_double
     P = ctypes.POINTER(D)
@@ -114,6 +133,10 @@ class NativePath:
     def __init__(self, wps: np.ndarray):
         self._lib = _load()
         wps = np.ascontiguousarray(np.asarray(wps, np.float64))
+        # validate before the FFI call: d2t_path_new reads 2*n doubles from
+        # the buffer, so a flat or (n,3) array would silently misparse
+        if wps.ndim != 2 or wps.shape[1] != 2 or len(wps) < 3:
+            raise ValueError(f"waypoints must be shaped (n>=3, 2); got {wps.shape}")
         self._handle = self._lib.d2t_path_new(_dptr(wps), len(wps))
         if not self._handle:
             raise ValueError("need at least 3 waypoints")
