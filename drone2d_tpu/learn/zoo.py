@@ -124,10 +124,15 @@ def train_zoo(
     out_root: str,
     *,
     snapshots: int = 3,
+    snapshot_steps: Optional[Sequence[int]] = None,
     log_every: int = 20,
 ) -> TrainState:
     """Train the whole seed population to total_timesteps each, snapshotting
-    `snapshots` intermediate per-seed .npz checkpoints along the way.
+    intermediate per-seed .npz checkpoints along the way: `snapshots` evenly
+    spaced ones, or — when `snapshot_steps` is given — at the first update
+    whose cumulative env-step count reaches each requested step (the
+    sample-efficiency-frontier use: e.g. the reference's 9M budget plus
+    doublings; rl_config.py:6).
 
     Metrics print as population summaries (mean/max success rate); per-seed
     curves are what select_agents.py is for.
@@ -138,13 +143,19 @@ def train_zoo(
     state = trainer.init(seeds)
     spu = trainer.steps_per_update
     n_updates = max((total_timesteps + spu - 1) // spu, 1)
-    # clamp into [1, n_updates-1]: update 0 never fires (u starts at 1) and
-    # n_updates would duplicate the final save; short runs get fewer
-    # (distinct) snapshots than asked rather than silent dupes
-    snap_at = {
-        min(max(round(n_updates * (i + 1) / (snapshots + 1)), 1), n_updates - 1)
-        for i in range(snapshots)
-    } if n_updates > 1 else set()
+    if snapshot_steps is not None:
+        snap_at = {
+            min(max(-(-int(s) // spu), 1), n_updates - 1)
+            for s in snapshot_steps
+        } if n_updates > 1 else set()
+    else:
+        # clamp into [1, n_updates-1]: update 0 never fires (u starts at 1)
+        # and n_updates would duplicate the final save; short runs get fewer
+        # (distinct) snapshots than asked rather than silent dupes
+        snap_at = {
+            min(max(round(n_updates * (i + 1) / (snapshots + 1)), 1), n_updates - 1)
+            for i in range(snapshots)
+        } if n_updates > 1 else set()
 
     t0 = time.perf_counter()
     for u in range(1, n_updates + 1):

@@ -36,6 +36,10 @@ def main() -> None:
         help="EnvConfig override, e.g. --env PP_rew_max=3.5 (repeatable)",
     )
     p.add_argument(
+        "--ppo", action="append", default=[], metavar="KEY=VALUE",
+        help="PPOConfig override, e.g. --ppo hidden_sizes=128,128 (repeatable)",
+    )
+    p.add_argument(
         "--no-eval", action="store_true",
         help="train only; defer evaluation to scripts/select_agents.py, which "
         "batches all seeds x checkpoints per scenario in one device program",
@@ -48,6 +52,12 @@ def main() -> None:
         "--snapshots", type=int, default=3,
         help="intermediate per-seed checkpoints in --vmap mode (candidate "
         "pool for select_agents.py; the all-12 agent_s125 came from one)",
+    )
+    p.add_argument(
+        "--snapshot-steps", type=int, nargs="+", default=None,
+        help="snapshot at these exact env-step counts instead of evenly "
+        "spaced (--vmap mode; e.g. 9000000 18000000 37500000 75000000 for "
+        "the sample-efficiency frontier)",
     )
     p.add_argument(
         "--vmap", type=int, default=0, metavar="S",
@@ -77,12 +87,21 @@ def main() -> None:
         except (ValueError, SyntaxError):
             return float(Fraction(v))  # allows '1/6'
 
-    overrides = {}
-    for kv in args.env:
-        k, v = kv.split("=", 1)
-        cur = getattr(EnvConfig(), k)
-        overrides[k] = v if isinstance(cur, str) else type(cur)(parse_value(v))
-    env_cfg = EnvConfig(**overrides)
+    def parse_overrides(pairs, defaults):
+        out = {}
+        for kv in pairs:
+            k, v = kv.split("=", 1)
+            cur = getattr(defaults, k)
+            if isinstance(cur, str):
+                out[k] = v
+            elif isinstance(cur, tuple):
+                out[k] = tuple(int(x) for x in v.split(","))
+            else:
+                out[k] = type(cur)(parse_value(v))
+        return out
+
+    env_cfg = EnvConfig(**parse_overrides(args.env, EnvConfig()))
+    ppo_overrides = parse_overrides(args.ppo, PPOConfig())
 
     os.makedirs(args.out, exist_ok=True)
     if args.vmap:
@@ -95,9 +114,10 @@ def main() -> None:
                 env_cfg,
                 PPOConfig(n_steps=args.n_steps,
                           num_minibatches=args.num_minibatches,
-                          shuffle=args.shuffle),
+                          shuffle=args.shuffle, **ppo_overrides),
                 args.num_envs, chunk, args.total_timesteps, args.out,
                 snapshots=args.snapshots,
+                snapshot_steps=args.snapshot_steps,
             )
             print(f"=== zoo chunk {chunk}: trained ({time.time()-t0:.0f}s), "
                   f"eval via select_agents.py")
@@ -117,7 +137,7 @@ def main() -> None:
             ),
             env_cfg,
             PPOConfig(n_steps=args.n_steps, num_minibatches=args.num_minibatches,
-                      shuffle=args.shuffle),
+                      shuffle=args.shuffle, **ppo_overrides),
         )
         train_s = time.time() - t0
         if args.no_eval:

@@ -73,3 +73,20 @@ def test_train_zoo_writes_selectable_artifacts(tmp_path):
     for _, path, step in cands:
         p = load_params(path, step)
         assert np.all(np.isfinite(np.asarray(p.log_std)))
+
+
+def test_train_zoo_snapshot_steps(tmp_path):
+    """snapshot_steps snapshots at the first update reaching each requested
+    env-step count (the sample-efficiency-frontier cadence)."""
+    import os
+
+    out = str(tmp_path / "zoo")
+    spu = 8 * 8  # num_envs * n_steps
+    train_zoo(
+        EnvConfig(**SMALL_ENV), PPOConfig(**SMALL_PPO), 8,
+        seeds=[7], total_timesteps=6 * spu, out_root=out,
+        snapshot_steps=[1, 3 * spu], log_every=10,
+    )
+    files = set(os.listdir(f"{out}/seed_7"))
+    # step 1 rounds up to the first update (1*spu); 3*spu lands exactly
+    assert files == {f"ckpt_{spu}.npz", f"ckpt_{3*spu}.npz", "new_agent.npz"}, files
