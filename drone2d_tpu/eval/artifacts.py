@@ -21,7 +21,7 @@ import numpy as np
 
 from drone2d_tpu.config import EnvConfig
 from drone2d_tpu.eval.episode import EpisodeResults
-from drone2d_tpu.eval.render import episode_gif, overlay_plot
+from drone2d_tpu.eval.render import campaign_gif, episode_gif, overlay_plot
 
 
 def _campaign_dirs(root: str, agent: str, scenario: str):
@@ -54,6 +54,7 @@ def write_campaign(
     root: str = "Tests",
     gif_root: Optional[str] = "Gifs",
     gif_episode: int = 0,
+    gif_all_episodes: bool = False,
 ) -> str:
     """Persist one campaign's artifacts; returns the scenario directory."""
     scenario = scenario or cfg.scenario
@@ -96,9 +97,18 @@ def write_campaign(
             os.path.join(plot_path, f"{scenario}_{agent_nr}.png"),
         )
         if gif_root is not None and len(results.traj):
-            i = gif_episode
-            episode_gif(
-                cfg, results.traj[i], results.angles[i], int(results.traj_len[i]),
-                os.path.join(gif_root, agent, f"{scenario}.gif"),
-            )
+            gif_path = os.path.join(gif_root, agent, f"{scenario}.gif")
+            if gif_all_episodes:
+                # reference behavior: one GIF spanning the whole campaign
+                # (main.py:259-295 accumulates frames across all episodes)
+                campaign_gif(
+                    cfg, results.traj, results.angles, results.traj_len,
+                    gif_path,
+                )
+            else:
+                i = gif_episode
+                episode_gif(
+                    cfg, results.traj[i], results.angles[i],
+                    int(results.traj_len[i]), gif_path,
+                )
     return file_path

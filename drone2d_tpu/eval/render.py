@@ -375,20 +375,44 @@ def episode_gif(
 ) -> None:
     """Replay one episode's trajectory to a GIF (main.py:293-295 cadence:
     every 2nd frame at 30 fps)."""
+    campaign_gif(cfg, traj[None], None if angles is None else angles[None],
+                 np.asarray([traj_len]), out_path, fps=fps, every=every)
+
+
+def campaign_gif(
+    cfg: EnvConfig,
+    traj: np.ndarray,
+    angles: Optional[np.ndarray],
+    traj_len: np.ndarray,
+    out_path: str,
+    *,
+    fps: int = 30,
+    every: int = 2,
+) -> None:
+    """Concatenate EVERY episode of a campaign into one GIF — the reference's
+    test-mode behavior (main.py:259-295 accumulates frames across the whole
+    run_n_times loop, sampling every 2nd frame at 30 fps); the flight trail
+    restarts with each episode, as its env re-init clears self.flight_path.
+
+    traj: (N, T, 2), angles: (N, T) or None, traj_len: (N,) live lengths.
+    """
     import imageio
 
     r = SceneRenderer(cfg)
-    trail: list = []
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     # stream frames straight to the encoder: a cap-length episode at the
     # default 1300x1300 screen is ~550 frames x ~5 MB — accumulating them in
     # a list (as mimsave needs) peaks at multi-GB RSS
     with imageio.get_writer(out_path, mode="I", fps=fps) as w:
-        for t in range(0, int(traj_len), every):
-            r.draw_scene()
-            x, y = float(traj[t, 0]), float(traj[t, 1])
-            trail.append((x, _flip(y, cfg.screensize_y)))
-            if len(trail) > 2:
-                r.draw_flight_path(trail, (16, 19, 97))
-            r.draw_drone((x, y), float(angles[t]) if angles is not None else 0.0)
-            w.append_data(r.frame())
+        for i in range(traj.shape[0]):
+            trail: list = []
+            for t in range(0, int(traj_len[i]), every):
+                r.draw_scene()
+                x, y = float(traj[i, t, 0]), float(traj[i, t, 1])
+                trail.append((x, _flip(y, cfg.screensize_y)))
+                if len(trail) > 2:
+                    r.draw_flight_path(trail, (16, 19, 97))
+                r.draw_drone(
+                    (x, y), float(angles[i, t]) if angles is not None else 0.0
+                )
+                w.append_data(r.frame())

@@ -113,6 +113,7 @@ def evaluate(
     gif_root: Optional[str] = "Gifs",
     agent_name: Optional[str] = None,
     checkpoint_step: Optional[int] = None,
+    gif_all_episodes: bool = False,
 ) -> dict:
     params = load_params(agent_path, checkpoint_step)
     cfg = scenario_config(scenario)
@@ -124,6 +125,7 @@ def evaluate(
     out_dir = write_campaign(
         cfg, results, agent=agent, agent_path=agent_path,
         scenario=scenario, root=out_root, gif_root=gif_root,
+        gif_all_episodes=gif_all_episodes,
     )
     n = max(int(np.sum(results.success) + np.sum(results.fail)), 1)
     summary = dict(
@@ -162,6 +164,10 @@ def main(argv=None) -> None:
     p.add_argument("--out-root", default="Tests")
     p.add_argument("--gif-root", default="Gifs")
     p.add_argument("--no-gif", action="store_true")
+    p.add_argument("--gif-all", action="store_true",
+                   help="one GIF spanning ALL campaign episodes (the "
+                   "reference's test-mode behavior, main.py:259-295) instead "
+                   "of a single episode")
     p.add_argument("--agent-name", default=None)
     p.add_argument("--checkpoint-step", type=int, default=None,
                    help="orbax checkpoint step to load (default: latest)")
@@ -176,6 +182,7 @@ def main(argv=None) -> None:
             gif_root=None if args.no_gif else args.gif_root,
             agent_name=args.agent_name,
             checkpoint_step=args.checkpoint_step,
+            gif_all_episodes=args.gif_all,
         )
 
 

@@ -232,3 +232,26 @@ def test_debug_viewer_policy_mode_headless(tmp_path):
         "--gif-out", gif, "--render-shade", "true", "--fps", "1000",
     ])
     assert os.path.exists(gif)
+
+
+def test_campaign_gif_spans_all_episodes(campaign, tmp_path):
+    """gif_all_episodes=True reproduces the reference's test-mode GIF, which
+    concatenates frames across ALL campaign episodes (main.py:259-295): the
+    whole-campaign GIF must carry every episode's every-2nd-frame count."""
+    import imageio
+
+    cfg, r = campaign
+    write_campaign(
+        cfg, r, agent="agent_8", agent_path="x.npz",
+        root=str(tmp_path / "Tests"), gif_root=str(tmp_path / "Gifs"),
+        gif_all_episodes=True,
+    )
+    gif = tmp_path / "Gifs" / "agent_8" / "large.gif"
+    n_frames = len(imageio.mimread(gif, memtest=False))
+    expect = sum(len(range(0, int(n), 2)) for n in r.traj_len)
+    longest = max(len(range(0, int(n), 2)) for n in r.traj_len)
+    # GIF encoding may merge identical consecutive frames, so allow a small
+    # deficit — but the campaign GIF must clearly span beyond ANY single
+    # episode and reach ~the full frame budget
+    assert longest < n_frames <= expect, (n_frames, expect, longest)
+    assert n_frames >= 0.9 * expect, (n_frames, expect)
