@@ -129,6 +129,16 @@ class EnvConfig:
     # (docs/RESULTS.md hunt 7).  0.0 = off.
     cross_mix_prob: float = 0.0
 
+    # Adaptive (PLR-lite) rehearsal: when True, the three fixed mix
+    # probabilities above are replaced by a PER-EPISODE categorical over the
+    # 7 rehearsal families (stage_1..stage_5, corridor, cross) whose
+    # probabilities are DATA — a (7,) array threaded through reset from
+    # TrainState.rehearsal_probs — so a controller can reweight families
+    # toward the ones the agent is currently failing (success accounting is
+    # kept on device per family; see learn/plr.py) without recompiling.
+    # The static path (False) is bit-identical to before this knob existed.
+    adaptive_rehearsal: bool = False
+
     # --- framework capacity knobs (fixed shapes; not in the reference) ---
     max_wps: int = 16              # ≥ any scenario's waypoint count (large: 14)
     max_obs: int = 64              # ≥ any scenario's obstacle count (S_corridor: 58)

@@ -304,10 +304,24 @@ class Drone2DEnv:
 
     # -- reset ---------------------------------------------------------------
 
-    def reset(self, key: jax.Array, global_step=0) -> Tuple[EnvState, jnp.ndarray]:
+    def reset(
+        self,
+        key: jax.Array,
+        global_step=0,
+        rehearsal_probs: Optional[jnp.ndarray] = None,
+    ) -> Tuple[EnvState, jnp.ndarray]:
+        """Fresh episode.  `rehearsal_probs` (traced (7,): stage_1..stage_5,
+        corridor, cross) drives per-episode family sampling when
+        cfg.adaptive_rehearsal is set — probabilities are DATA, so a PLR-lite
+        controller can reweight them between updates without recompiling."""
         cfg = self.cfg
+        if cfg.adaptive_rehearsal and rehearsal_probs is None and cfg.mode != "test":
+            raise ValueError(
+                "cfg.adaptive_rehearsal=True requires rehearsal_probs"
+            )
         k_path, k_obs, k_sx, k_sy, k_ang, k_throw, k_mix = jax.random.split(key, 7)
         angle = jax.random.uniform(k_ang, (), minval=-jnp.pi / 4, maxval=jnp.pi / 4)
+        family = jnp.int32(0)
 
         if cfg.mode == "test":
             pd = self._test_path
@@ -331,44 +345,67 @@ class Drone2DEnv:
                 scaled = jnp.asarray(global_step, jnp.float32) / cfg.curriculum_scale
                 stage = scenarios.stage_from_step(scaled)
                 gs = scaled
-                if cfg.stage_mix_prob > 0.0:
+                if cfg.adaptive_rehearsal:
+                    # PLR-lite family draw: one categorical over the 7
+                    # rehearsal families (stage_1..5, corridor, cross) with
+                    # the remainder a scheduled-curriculum episode.  Uses its
+                    # own fold_in keys so the static path's RNG streams (and
+                    # the committed golden fixtures) stay bit-identical.
+                    u = jax.random.uniform(jax.random.fold_in(key, 11))
+                    cum = jnp.cumsum(rehearsal_probs)
+                    fam_idx = jnp.sum((u >= cum).astype(jnp.int32))  # 0..7
+                    is_stage = fam_idx <= 4
+                    stage = jnp.where(is_stage, fam_idx + 1, stage)
+                    gs = jnp.where(is_stage, jnp.float32(-1.0), gs)
+                    family = jnp.where(is_stage, fam_idx + 1, 0).astype(jnp.int32)
+                elif cfg.stage_mix_prob > 0.0:
                     # stage rehearsal: see EnvConfig.stage_mix_prob
                     k_flip, k_stage = jax.random.split(k_mix)
                     mix = jax.random.bernoulli(k_flip, cfg.stage_mix_prob)
                     rand_stage = jax.random.randint(k_stage, (), 1, 6)
                     stage = jnp.where(mix, rand_stage, stage)
                     gs = jnp.where(mix, jnp.float32(-1.0), gs)
+                    family = jnp.where(mix, rand_stage, 0).astype(jnp.int32)
             oxy, orad, omask = scenarios.curriculum_obstacles(k_obs, cfg, pd, stage, gs)
             corridor_mix = jnp.asarray(False)
             # rehearsal mixes are TRAINING-time data augmentation: like
             # stage_mix above they must never fire under a forced-stage
             # eval scenario (scenario='stage_k'), or per-stage benchmark
             # measurements would silently include rehearsal episodes
-            if cfg.corridor_mix_prob > 0.0 and self._stage_override is None:
+            adaptive = cfg.adaptive_rehearsal and self._stage_override is None
+            if (cfg.corridor_mix_prob > 0.0 or adaptive) and self._stage_override is None:
                 # corridor rehearsal: see EnvConfig.corridor_mix_prob.  Keys
                 # fold_in-derived so the default path's RNG streams (and the
                 # committed golden fixtures) stay bit-identical.
                 k_cflip = jax.random.fold_in(key, 7)
                 k_cor = jax.random.fold_in(key, 8)
-                corridor_mix = jax.random.bernoulli(k_cflip, cfg.corridor_mix_prob)
+                if adaptive:
+                    corridor_mix = fam_idx == 5
+                else:
+                    corridor_mix = jax.random.bernoulli(k_cflip, cfg.corridor_mix_prob)
                 cxy, cr, cmask = scenarios.corridor_obstacles(k_cor, cfg, pd)
                 oxy = jnp.where(corridor_mix, cxy, oxy)
                 orad = jnp.where(corridor_mix, cr, orad)
                 omask = jnp.where(corridor_mix, cmask, omask)
             cross_mix = jnp.asarray(False)
-            if cfg.cross_mix_prob > 0.0 and self._stage_override is None:
+            if (cfg.cross_mix_prob > 0.0 or adaptive) and self._stage_override is None:
                 # crossing-wall rehearsal: see EnvConfig.cross_mix_prob.
                 # fold_in keys 9/10 keep the default path's RNG streams (and
                 # golden fixtures) bit-identical; when both rehearsals fire
                 # in one episode the crossing wall wins.
                 k_xflip = jax.random.fold_in(key, 9)
                 k_cross = jax.random.fold_in(key, 10)
-                cross_mix = jax.random.bernoulli(k_xflip, cfg.cross_mix_prob)
+                if adaptive:
+                    cross_mix = fam_idx == 6
+                else:
+                    cross_mix = jax.random.bernoulli(k_xflip, cfg.cross_mix_prob)
                 xxy, xr, xmask = scenarios.cross_obstacles(k_cross, cfg, pd)
                 oxy = jnp.where(cross_mix, xxy, oxy)
                 orad = jnp.where(cross_mix, xr, orad)
                 omask = jnp.where(cross_mix, xmask, omask)
             obstacles = ObstacleSet(xy=oxy, r=orad, mask=omask)
+            family = jnp.where(corridor_mix, 6, family).astype(jnp.int32)
+            family = jnp.where(cross_mix, 7, family).astype(jnp.int32)
             # stage 2 spawns anywhere on screen (:329-333); others at path start
             rx = jax.random.uniform(k_sx, (), minval=100.0, maxval=cfg.screensize_x - 100.0)
             ry = jax.random.uniform(k_sy, (), minval=100.0, maxval=cfg.screensize_y - 100.0)
@@ -401,6 +438,7 @@ class Drone2DEnv:
             la_locked=jnp.asarray(False),
             left_force=jnp.float32(0.0),
             right_force=jnp.float32(0.0),
+            family=family,
         )
         obs, la_locked = _observe(cfg, pd, obstacles, body, state.target, state.la_locked)
         return state._replace(la_locked=la_locked), obs
@@ -563,9 +601,10 @@ class Drone2DEnv:
 
     # -- batched helpers -------------------------------------------------------
 
-    def reset_batch(self, key: jax.Array, num_envs: int, global_step=0):
+    def reset_batch(self, key: jax.Array, num_envs: int, global_step=0,
+                    rehearsal_probs=None):
         keys = jax.random.split(key, num_envs)
-        return jax.vmap(lambda k: self.reset(k, global_step))(keys)
+        return jax.vmap(lambda k: self.reset(k, global_step, rehearsal_probs))(keys)
 
     def step_batch(self, state, action, key: jax.Array, global_step=0):
         """Batched auto-resetting step; state/action carry a leading env dim."""

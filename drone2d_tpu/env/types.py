@@ -45,6 +45,20 @@ class EnvState(NamedTuple):
     la_locked: jnp.ndarray     # () bool LA_in_last_wp (drone_2d_env.py:112,739-744)
     left_force: jnp.ndarray    # () last applied rotor forces (render parity,
     right_force: jnp.ndarray   # drone_2d_env.py:140-141)
+    # Which episode family this episode was drawn from (REHEARSAL_FAMILIES:
+    # 0 = scheduled curriculum / test scenario, 1-5 = rehearsed stage_k,
+    # 6 = corridor rehearsal, 7 = crossing-wall rehearsal).  Drives the
+    # on-device per-family success accounting behind adaptive (PLR-lite)
+    # rehearsal reweighting; costs one scalar per env otherwise.
+    family: jnp.ndarray        # () int32
+
+
+# family-axis layout for rehearsal accounting (EnvState.family values)
+N_FAMILIES = 8
+FAMILY_NAMES = (
+    "schedule", "stage_1", "stage_2", "stage_3", "stage_4", "stage_5",
+    "corridor", "cross",
+)
 
 
 class StepOutput(NamedTuple):

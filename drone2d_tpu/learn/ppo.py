@@ -31,7 +31,7 @@ import optax
 
 from drone2d_tpu.config import EnvConfig, PPOConfig
 from drone2d_tpu.env.env import ACT_DIM, OBS_DIM, Drone2DEnv
-from drone2d_tpu.env.types import EnvState
+from drone2d_tpu.env.types import N_FAMILIES, EnvState
 from drone2d_tpu.learn.gae import compute_gae
 from drone2d_tpu.models.policy import (
     ActorCriticParams,
@@ -67,11 +67,16 @@ class EpisodeStats(NamedTuple):
     n_fail: jnp.ndarray              # () f32
     n_collision: jnp.ndarray         # () f32
     sum_components: jnp.ndarray      # (7,) f32 — final-step reward components
+    # per-rehearsal-family episode/success counts (env.types.FAMILY_NAMES
+    # axis); all-zero unless EnvConfig.adaptive_rehearsal is on
+    family_counts: jnp.ndarray       # (8,) f32
+    family_wins: jnp.ndarray         # (8,) f32
 
     @staticmethod
     def zeros() -> "EpisodeStats":
         z = jnp.float32(0.0)
-        return EpisodeStats(z, z, z, z, z, z, z, jnp.zeros((7,), jnp.float32))
+        zf = jnp.zeros((N_FAMILIES,), jnp.float32)
+        return EpisodeStats(z, z, z, z, z, z, z, jnp.zeros((7,), jnp.float32), zf, zf)
 
     def summary(self) -> Dict[str, jnp.ndarray]:
         n = jnp.maximum(self.n_episodes, 1.0)
@@ -107,6 +112,17 @@ class TrainState(NamedTuple):
     # serialize dispatch; metrics are fetched only on logging updates).
     # Reduced across shards under shard_map, carried through checkpoints.
     episodes_total: jnp.ndarray    # () float32 cumulative episodes
+    # Adaptive (PLR-lite) rehearsal state.  rehearsal_probs (7,) is the
+    # per-episode probability of each rehearsal family (stage_1..stage_5,
+    # corridor, cross) threaded into env.reset as DATA when
+    # EnvConfig.adaptive_rehearsal is on — a controller (learn/plr.py) can
+    # rewrite it between updates with zero recompiles.  family_counts/wins
+    # (8,) accumulate finished episodes / successes per family on device
+    # (axis: env.types.FAMILY_NAMES).  All three are inert (zeros / static
+    # config values) when adaptive_rehearsal is off.
+    rehearsal_probs: jnp.ndarray   # (7,) f32
+    family_counts: jnp.ndarray     # (8,) f32 cumulative
+    family_wins: jnp.ndarray       # (8,) f32 cumulative
 
 
 class RolloutBatch(NamedTuple):
@@ -171,12 +187,26 @@ class PPOLearner:
 
     # -- construction --------------------------------------------------------
 
+    def initial_rehearsal_probs(self) -> jnp.ndarray:
+        """Starting family probabilities: the static mix knobs spread over
+        their families (stage_mix_prob uniformly over the 5 stages, matching
+        the static path's uniform stage draw)."""
+        e = self.env.cfg
+        return jnp.asarray(
+            [e.stage_mix_prob / 5.0] * 5 + [e.corridor_mix_prob, e.cross_mix_prob],
+            jnp.float32,
+        )
+
     def init(self, key: jax.Array) -> TrainState:
         k_params, k_env, k_rng = jax.random.split(key, 3)
         params = init_actor_critic(
             k_params, OBS_DIM, ACT_DIM, self.cfg.hidden_sizes
         )
-        env_state, obs = self.env.reset_batch(k_env, self.num_envs, 0)
+        probs = self.initial_rehearsal_probs()
+        env_state, obs = self.env.reset_batch(
+            k_env, self.num_envs, 0,
+            probs if self.env.cfg.adaptive_rehearsal else None,
+        )
         return TrainState(
             params=params,
             opt_state=self.tx.init(params),
@@ -185,6 +215,9 @@ class PPOLearner:
             rng=k_rng,
             global_step=jnp.float32(0.0),
             episodes_total=jnp.float32(0.0),
+            rehearsal_probs=probs,
+            family_counts=jnp.zeros((N_FAMILIES,), jnp.float32),
+            family_wins=jnp.zeros((N_FAMILIES,), jnp.float32),
         )
 
     # -- rollout -------------------------------------------------------------
@@ -200,8 +233,10 @@ class PPOLearner:
         # fresh reset targets, built ONCE per rollout outside the scan (the
         # in-scan auto-reset only selects them; see step_autoreset_template)
         template_key, rollout_rng = jax.random.split(state.rng)
+        adaptive = self.env.cfg.adaptive_rehearsal
         reset_state, reset_obs = self.env.reset_batch(
-            template_key, self.num_envs, state.global_step
+            template_key, self.num_envs, state.global_step,
+            state.rehearsal_probs if adaptive else None,
         )
 
         def step_fn(carry, _):
@@ -212,7 +247,9 @@ class PPOLearner:
             out = self.env.step_batch_template(
                 env_state, clipped, reset_state, reset_obs
             )
-            stats_delta = (out.info, out.done)
+            # family read PRE-step: the episode that just finished, not the
+            # auto-reset replacement
+            stats_delta = (out.info, out.done, env_state.family)
             carry = (out.state, out.obs, rng)
             ys = (obs, action, log_prob, value, out.reward, out.done, stats_delta)
             return carry, ys
@@ -230,11 +267,23 @@ class PPOLearner:
         obs_t, actions, log_probs, values, rewards, dones, stats_seq = ys
 
         # fold per-step episode stats (infos stacked over T by the scan)
-        stats = EpisodeStats.zeros()
-        infos, done_seq = stats_seq
+        infos, done_seq, fam_seq = stats_seq
         d = done_seq.astype(jnp.float32)
         n_done = jnp.sum(d)
         comp = jnp.stack([jnp.sum(infos[k] * d) for k in _COMPONENT_KEYS])
+        if adaptive:
+            # per-family episode/success accounting (no one-hot
+            # materialization: 8 masked reductions over the (T, N) plane)
+            win = infos["n_successful_runs"].astype(jnp.float32) * d
+            fam_counts = jnp.stack(
+                [jnp.sum(jnp.where(fam_seq == f, d, 0.0)) for f in range(N_FAMILIES)]
+            )
+            fam_wins = jnp.stack(
+                [jnp.sum(jnp.where(fam_seq == f, win, 0.0)) for f in range(N_FAMILIES)]
+            )
+        else:
+            fam_counts = jnp.zeros((N_FAMILIES,), jnp.float32)
+            fam_wins = jnp.zeros((N_FAMILIES,), jnp.float32)
         stats = EpisodeStats(
             n_episodes=n_done,
             sum_length=jnp.sum(infos["env_steps"] * d),
@@ -244,6 +293,8 @@ class PPOLearner:
             n_fail=jnp.sum(infos["n_failed_runs"] * d),
             n_collision=jnp.sum(infos["n_collisions"] * d),
             sum_components=comp,
+            family_counts=fam_counts,
+            family_wins=fam_wins,
         )
 
         _, _, last_values = policy_value(state.params, obs)
@@ -400,6 +451,8 @@ class PPOLearner:
         new_state = state._replace(
             params=params, opt_state=opt_state, rng=rng,
             episodes_total=episodes_total,
+            family_counts=state.family_counts + stats.family_counts,
+            family_wins=state.family_wins + stats.family_wins,
         )
         return new_state, metrics
 

@@ -157,9 +157,32 @@ def train_zoo(
             for i in range(snapshots)
         } if n_updates > 1 else set()
 
+    adaptive = env_cfg.adaptive_rehearsal
+    plr_last = (
+        np.asarray(jax.device_get(state.family_counts)),
+        np.asarray(jax.device_get(state.family_wins)),
+    )
     t0 = time.perf_counter()
     for u in range(1, n_updates + 1):
         state, metrics = trainer.update(state)
+        if adaptive and u % log_every == 0:
+            # PLR-lite tick, vectorized over the population: each member
+            # reweights its own rehearsal families by its own measured
+            # failure rates (learn/plr.py broadcasts over leading axes)
+            from drone2d_tpu.learn.plr import reweight_rehearsal
+
+            counts = np.asarray(jax.device_get(state.family_counts))
+            wins = np.asarray(jax.device_get(state.family_wins))
+            probs = np.asarray(jax.device_get(state.rehearsal_probs))
+            new_probs = reweight_rehearsal(
+                probs, counts - plr_last[0], wins - plr_last[1]
+            )
+            plr_last = (counts, wins)
+            state = state._replace(
+                rehearsal_probs=jax.device_put(
+                    jnp.asarray(new_probs), state.rehearsal_probs.sharding
+                )
+            )
         if u == 1:
             # device_get, not block_until_ready: the latter has been observed
             # returning before the dispatch queue drains on the remote axon

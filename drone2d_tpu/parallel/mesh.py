@@ -47,6 +47,11 @@ def _state_spec(state_shape) -> TrainState:
         rng=rep,
         global_step=rep,
         episodes_total=rep,
+        # PLR-lite state: probs are controller-set (identical everywhere);
+        # family counts are psum-reduced inside update, so replicated too
+        rehearsal_probs=rep,
+        family_counts=rep,
+        family_wins=rep,
     )
 
 
@@ -75,7 +80,8 @@ def shard_init(mesh: Mesh, learner: PPOLearner, key: jax.Array) -> TrainState:
         idx = jax.lax.axis_index(AXIS)
         state = local.init(jax.random.fold_in(key, 0))  # same params everywhere
         env_state, obs = local.env.reset_batch(
-            jax.random.fold_in(key, 1 + idx), local.num_envs, 0
+            jax.random.fold_in(key, 1 + idx), local.num_envs, 0,
+            state.rehearsal_probs if local.env.cfg.adaptive_rehearsal else None,
         )
         return state._replace(env_state=env_state, obs=obs)
 

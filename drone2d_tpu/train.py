@@ -116,6 +116,10 @@ def train(
     next_ckpt = (start_step // train_cfg.checkpoint_every_steps + 1) * train_cfg.checkpoint_every_steps
     n_updates = 0
     gs = start_step
+    plr_last = (
+        np.asarray(jax.device_get(state.family_counts)),
+        np.asarray(jax.device_get(state.family_wins)),
+    )
     t0 = time.perf_counter()
     try:
         while True:
@@ -138,6 +142,32 @@ def train(
                 # cumulative episodes accumulated on device (exact across
                 # skipped updates and across resume)
                 writer.set_episodes_total(int(m.pop("episodes/total")))
+                if env_cfg.adaptive_rehearsal:
+                    # PLR-lite controller tick: reweight rehearsal families
+                    # by their measured failure rates since the last tick
+                    # (learn/plr.py); re-enters the jitted update as data
+                    from drone2d_tpu.learn.plr import family_report, reweight_rehearsal
+
+                    counts, wins, probs = (
+                        np.asarray(jax.device_get(state.family_counts)),
+                        np.asarray(jax.device_get(state.family_wins)),
+                        np.asarray(jax.device_get(state.rehearsal_probs)),
+                    )
+                    dc, dw = counts - plr_last[0], wins - plr_last[1]
+                    plr_last = (counts, wins)
+                    new_probs = reweight_rehearsal(probs, dc, dw)
+                    state = state._replace(
+                        rehearsal_probs=jax.device_put(
+                            jnp.asarray(new_probs), state.rehearsal_probs.sharding
+                        )
+                    )
+                    for f, name in enumerate(
+                        ("stage_1", "stage_2", "stage_3", "stage_4", "stage_5",
+                         "corridor", "cross")
+                    ):
+                        m[f"rehearsal/p_{name}"] = float(new_probs[f])
+                    print("  rehearsal:", family_report(dc, dw),
+                          "->", np.round(new_probs, 3))
                 rate = steps_per_update * max(n_updates - 1, 1) / max(
                     time.perf_counter() - t0, 1e-9
                 )

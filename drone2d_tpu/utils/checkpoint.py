@@ -45,6 +45,9 @@ def save_checkpoint(
         else jax.device_get(state.rng),
         global_step=step,
         episodes_total=int(np.asarray(jax.device_get(state.episodes_total))),
+        rehearsal_probs=np.asarray(jax.device_get(state.rehearsal_probs)),
+        family_counts=np.asarray(jax.device_get(state.family_counts)),
+        family_wins=np.asarray(jax.device_get(state.family_wins)),
     )
     mgr = _manager(directory, keep)
     mgr.save(step, args=ocp.args.StandardSave(payload))
@@ -77,19 +80,32 @@ def restore_checkpoint(
         rng=jax.ShapeDtypeStruct((2,), np.uint32),
         global_step=0,
         episodes_total=0,
+        rehearsal_probs=np.zeros(7, np.float32),
+        family_counts=np.zeros(8, np.float32),
+        family_wins=np.zeros(8, np.float32),
     )
-    try:
-        payload = mgr.restore(step, args=ocp.args.StandardRestore(restore_tpl))
-    except ValueError:
-        # checkpoints written before episodes_total existed lack the key and
-        # orbax rejects a template with extra keys; retry without it (the
-        # .get() fallback below seeds the counter at 0)
-        restore_tpl.pop("episodes_total")
-        payload = mgr.restore(step, args=ocp.args.StandardRestore(restore_tpl))
+    # checkpoints written before newer TrainState fields existed lack those
+    # keys and orbax rejects a template with extra keys; retry with each
+    # newer generation's keys dropped (the .get() fallbacks below default)
+    for drop in ((), ("rehearsal_probs", "family_counts", "family_wins"),
+                 ("episodes_total",)):
+        try:
+            tpl = {k: v for k, v in restore_tpl.items() if k not in drop}
+            payload = mgr.restore(step, args=ocp.args.StandardRestore(tpl))
+            break
+        except ValueError:
+            if drop and "episodes_total" in drop:
+                raise
+            restore_tpl = tpl
     mgr.close()
     rng = jax.random.wrap_key_data(np.asarray(payload["rng"], np.uint32))
+    probs = jax.numpy.asarray(
+        payload.get("rehearsal_probs", learner.initial_rehearsal_probs()),
+        jax.numpy.float32,
+    )
     env_state, obs = learner.env.reset_batch(
-        jax.random.fold_in(rng, 17), learner.num_envs, payload["global_step"]
+        jax.random.fold_in(rng, 17), learner.num_envs, payload["global_step"],
+        probs if learner.env.cfg.adaptive_rehearsal else None,
     )
     state = TrainState(
         params=jax.tree.map(jax.numpy.asarray, payload["params"]),
@@ -99,5 +115,10 @@ def restore_checkpoint(
         rng=rng,
         global_step=jax.numpy.float32(payload["global_step"]),
         episodes_total=jax.numpy.float32(payload.get("episodes_total", 0)),
+        rehearsal_probs=probs,
+        family_counts=jax.numpy.asarray(
+            payload.get("family_counts", np.zeros(8)), jax.numpy.float32),
+        family_wins=jax.numpy.asarray(
+            payload.get("family_wins", np.zeros(8)), jax.numpy.float32),
     )
     return state, int(payload["global_step"])
