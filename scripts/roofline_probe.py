@@ -93,7 +93,7 @@ def main() -> None:
     for n in (512, 1024, 2048, 4096, 8192):
         ns = measure(n, 512)
         rows.append(dict(probe="envs", num_envs=n, table_n=512, ns_per_env_step=round(ns, 2)))
-        print(f"  envs={n:5d}: {ns:7.2f} ns/env-step  ({n/ns*1e3:,.0f}k steps/s)")
+        print(f"  envs={n:5d}: {ns:7.2f} ns/env-step  ({1e9/ns/1e6:,.1f}M steps/s)")
 
     print("== table_n scaling (num_envs=4096) ==")
     for t in (128, 256, 512, 1024, 2048):
