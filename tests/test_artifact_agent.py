@@ -98,3 +98,42 @@ def test_flagship_s309_mean_sr():
         assert len(rows) == 12
         mean_sr = sum(r["success_rate"] for r in rows) / len(rows)
         assert mean_sr >= 0.80, (fname, mean_sr)
+
+
+def test_flagship_s147_covers_all_published_under_both_rngs():
+    """agent_s147 (hunt 10: hidden 128x128 capacity on the flagship
+    stage-rehearsal recipe) is the first agent to match-or-beat every
+    published success rate UNDER BOTH committed eval RNGs with mean
+    SR >= 0.835 under both (measured 0.841 seed 0 / 0.838 seed 777; a
+    third RNG scores 0.834 within one episode per scenario).  Asserted
+    from the committed 100-episode campaign summaries."""
+    import json
+
+    from drone2d_tpu.eval.barplots import PUBLISHED_SR
+
+    for fname in ("summary.json", "campaign_seed777_summary.json"):
+        path = os.path.join(_ART_DIR, "agent_s147", fname)
+        assert os.path.exists(path), path
+        with open(path) as f:
+            payload = json.load(f)
+        rates = {r["scenario"]: r["success_rate"] for r in payload["scenarios"]}
+        for scen, target in PUBLISHED_SR.items():
+            assert rates[scen] >= target, (fname, scen, rates[scen], target)
+        mean_sr = sum(rates.values()) / len(rates)
+        assert mean_sr >= 0.835, (fname, mean_sr)
+
+
+def test_flagship_s147_loads_and_flies():
+    """The shipped 128x128 artifact loads through the public loader (shape
+    discovery from the npz) and clearly outperforms random."""
+    from drone2d_tpu.eval.episode import run_episodes
+    from drone2d_tpu.eval.run import load_params, scenario_config
+
+    path = os.path.join(_ART_DIR, "agent_s147", "new_agent.npz")
+    if not os.path.exists(path):
+        pytest.skip("agent_s147 artifact not present")
+    params = load_params(os.path.abspath(path))
+    assert params.pi[0].w.shape == (27, 128)
+    cfg = scenario_config("corridor").replace(path_table_n=256)
+    agent = run_episodes(cfg, params, jax.random.PRNGKey(0), 16)
+    assert agent.success.mean() >= 0.6, agent.success.mean()
