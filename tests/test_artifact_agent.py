@@ -20,23 +20,28 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.mark.parametrize(
-    "artifact", FLAGSHIPS,
-    ids=["s24", "s45", "s55", "s103", "s102", "s115", "s125", "s309"],
-)
-def test_flagship_loads_and_flies_corridor(artifact):
-    from drone2d_tpu.eval.episode import run_episodes
+def test_flagships_load_and_fly_corridor():
+    """All shipped 64x64 flagships, evaluated as ONE stacked device program
+    (run_episodes_multi) against a single random-policy baseline — the
+    per-agent assertions of the old parametrized version at ~1/8 the cost."""
+    import jax.numpy as jnp
+
+    from drone2d_tpu.eval.episode import run_episodes, run_episodes_multi
     from drone2d_tpu.eval.run import load_params, scenario_config
 
-    params = load_params(os.path.abspath(artifact))
     cfg = scenario_config("corridor").replace(path_table_n=256)
-    agent = run_episodes(cfg, params, jax.random.PRNGKey(0), 16)
+    stack = jax.tree.map(
+        lambda *x: jnp.stack(x),
+        *[load_params(os.path.abspath(p)) for p in FLAGSHIPS],
+    )
+    agents = run_episodes_multi(cfg, stack, jax.random.PRNGKey(0), 16)
     rand = run_episodes(cfg, None, jax.random.PRNGKey(0), 16)
-    # the shipped agent succeeds most of the time; random never does
-    assert agent.success.mean() >= 0.5, agent.success.mean()
     assert rand.success.mean() <= 0.2
-    assert agent.total_reward.mean() > rand.total_reward.mean() + 500
-    assert np.all(np.isfinite(agent.ape))
+    for i, path in enumerate(FLAGSHIPS):
+        # every shipped agent succeeds most of the time; random never does
+        assert agents.success[i].mean() >= 0.5, (path, agents.success[i].mean())
+        assert agents.total_reward[i].mean() > rand.total_reward.mean() + 500, path
+        assert np.all(np.isfinite(agents.ape[i])), path
 
 
 def test_shipped_pair_covers_all_published_metrics():

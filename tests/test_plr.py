@@ -110,13 +110,13 @@ def test_family_counts_accumulate_in_training():
     episodes must all land in family 1 and wins must track counts."""
     cfg = EnvConfig(**SMALL, adaptive_rehearsal=True)
     learner = PPOLearner(
-        cfg, PPOConfig(n_steps=64, num_minibatches=4, n_epochs=1), num_envs=16
+        cfg, PPOConfig(n_steps=48, num_minibatches=4, n_epochs=1), num_envs=16
     )
     state = jax.jit(learner.init)(jax.random.PRNGKey(0))
     state = state._replace(
         rehearsal_probs=jnp.asarray([1.0, 0, 0, 0, 0, 0, 0], jnp.float32)
     )
-    for _ in range(4):
+    for _ in range(3):
         state, metrics = learner.update_jit(state)
     counts = np.asarray(state.family_counts)
     wins = np.asarray(state.family_wins)
@@ -143,7 +143,7 @@ def test_adaptive_training_on_mesh():
 
     cfg = EnvConfig(**SMALL, adaptive_rehearsal=True)
     learner = PPOLearner(
-        cfg, PPOConfig(n_steps=16, num_minibatches=2, n_epochs=1), num_envs=16
+        cfg, PPOConfig(n_steps=8, num_minibatches=2, n_epochs=1), num_envs=16
     )
     mesh = make_mesh()
     state = shard_init(mesh, learner, jax.random.PRNGKey(1))
@@ -154,7 +154,7 @@ def test_adaptive_training_on_mesh():
         )
     )
     upd = shard_update(mesh, learner)
-    for _ in range(3):
+    for _ in range(2):
         state, metrics = upd(state)
     counts = np.asarray(jax.device_get(state.family_counts))
     assert np.isfinite(counts).all() and counts.sum() >= 0
