@@ -61,10 +61,12 @@ def test_adaptive_reset_zero_probs_matches_static_path():
     cfg_s = EnvConfig(**SMALL)
     cfg_a = cfg_s.replace(adaptive_rehearsal=True)
     key = jax.random.PRNGKey(3)
-    s_state, s_obs = Drone2DEnv(cfg_s).reset_batch(key, 8, 0)
-    a_state, a_obs = Drone2DEnv(cfg_a).reset_batch(
-        key, 8, 0, jnp.zeros(7, jnp.float32)
-    )
+    s_state, s_obs = jax.jit(
+        lambda k: Drone2DEnv(cfg_s).reset_batch(k, 8, 0)
+    )(key)
+    a_state, a_obs = jax.jit(
+        lambda k, p: Drone2DEnv(cfg_a).reset_batch(k, 8, 0, p)
+    )(key, jnp.zeros(7, jnp.float32))
     np.testing.assert_array_equal(np.asarray(s_obs), np.asarray(a_obs))
     for a, b in zip(jax.tree.leaves(s_state), jax.tree.leaves(a_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -79,9 +81,9 @@ def test_adaptive_reset_zero_probs_matches_static_path():
 def test_adaptive_reset_respects_family_probs(fam_idx, probs):
     cfg = EnvConfig(**SMALL, adaptive_rehearsal=True)
     env = Drone2DEnv(cfg)
-    state, _ = env.reset_batch(
-        jax.random.PRNGKey(0), 32, 0, jnp.asarray(probs, jnp.float32)
-    )
+    state, _ = jax.jit(
+        lambda k, p: env.reset_batch(k, 32, 0, p)
+    )(jax.random.PRNGKey(0), jnp.asarray(probs, jnp.float32))
     assert np.all(np.asarray(state.family) == fam_idx), np.asarray(state.family)
 
 
@@ -97,9 +99,9 @@ def test_stage_override_immune_to_adaptive_mix():
     cfg = EnvConfig(**SMALL, adaptive_rehearsal=True, scenario="stage_2",
                     mode="curriculum")
     env = Drone2DEnv(cfg)
-    state, _ = env.reset_batch(
-        jax.random.PRNGKey(0), 16, 0, jnp.asarray([0, 0, 0, 0, 0, 0, 1.0])
-    )
+    state, _ = jax.jit(
+        lambda k, p: env.reset_batch(k, 16, 0, p)
+    )(jax.random.PRNGKey(0), jnp.asarray([0, 0, 0, 0, 0, 0, 1.0]))
     assert np.all(np.asarray(state.family) == 0)
 
 
