@@ -372,8 +372,16 @@ class Drone2DEnv:
             # stage_mix above they must never fire under a forced-stage
             # eval scenario (scenario='stage_k'), or per-stage benchmark
             # measurements would silently include rehearsal episodes
+            # rehearsal guards: static mixes need the no-override check
+            # explicitly; `adaptive` already entails it
             adaptive = cfg.adaptive_rehearsal and self._stage_override is None
-            if (cfg.corridor_mix_prob > 0.0 or adaptive) and self._stage_override is None:
+            corridor_on = adaptive or (
+                cfg.corridor_mix_prob > 0.0 and self._stage_override is None
+            )
+            cross_on = adaptive or (
+                cfg.cross_mix_prob > 0.0 and self._stage_override is None
+            )
+            if corridor_on:
                 # corridor rehearsal: see EnvConfig.corridor_mix_prob.  Keys
                 # fold_in-derived so the default path's RNG streams (and the
                 # committed golden fixtures) stay bit-identical.
@@ -388,7 +396,7 @@ class Drone2DEnv:
                 orad = jnp.where(corridor_mix, cr, orad)
                 omask = jnp.where(corridor_mix, cmask, omask)
             cross_mix = jnp.asarray(False)
-            if (cfg.cross_mix_prob > 0.0 or adaptive) and self._stage_override is None:
+            if cross_on:
                 # crossing-wall rehearsal: see EnvConfig.cross_mix_prob.
                 # fold_in keys 9/10 keep the default path's RNG streams (and
                 # golden fixtures) bit-identical; when both rehearsals fire

@@ -48,8 +48,9 @@ def reweight_rehearsal(
                   budget (pure exploitation starves the signal: a family with
                   p=0 generates no episodes, so its failure rate never
                   updates — the classic PLR staleness trap)
-    min_episodes: below this sample count a family's new score is considered
-                  unmeasured and its previous probability is kept
+    min_episodes: below this sample count a family is 'unmeasured' and its
+                  probability is kept EXACTLY; only the measured families'
+                  remaining budget share is redistributed
     ema:          smoothing toward the new target (1.0 = jump immediately)
     active:       boolean (..., 7) mask of families allowed to receive budget
                   (default: the families with nonzero probability at t=0 —
@@ -67,25 +68,24 @@ def reweight_rehearsal(
         active = probs > 0.0
     active = np.broadcast_to(np.asarray(active, bool), probs.shape)
 
-    budget = np.sum(np.where(active, probs, 0.0), axis=-1, keepdims=True)
-    n_active = np.maximum(np.sum(active, axis=-1, keepdims=True), 1)
+    measured = active & (counts >= min_episodes)
+    n_meas = np.sum(measured, axis=-1, keepdims=True)
+    # unmeasured/inactive families keep their probability exactly; only the
+    # measured families' combined mass is redistributed among themselves
+    budget = np.sum(np.where(measured, probs, 0.0), axis=-1, keepdims=True)
 
-    fail_rate = 1.0 - wins / np.maximum(counts, 1.0)
-    # unmeasured families keep their current share of the budget as score
-    cur_share = np.where(
-        budget > 0, probs / np.maximum(budget, 1e-12), 1.0 / n_active
+    fail_rate = np.where(measured, 1.0 - wins / np.maximum(counts, 1.0), 0.0)
+    z = np.sum(fail_rate, axis=-1, keepdims=True)
+    uniform = np.where(n_meas > 0, measured / np.maximum(n_meas, 1), 0.0)
+    target_share = np.where(z > 1e-12, fail_rate / np.maximum(z, 1e-12), uniform)
+    # per-family floor, renormalized over measured families
+    floored = np.where(
+        measured,
+        floor_frac + (1.0 - floor_frac * n_meas) * target_share,
+        0.0,
     )
-    score = np.where(counts >= min_episodes, fail_rate, cur_share)
-    score = np.where(active, score, 0.0)
-
-    z = np.sum(score, axis=-1, keepdims=True)
-    uniform = active / n_active
-    target_share = np.where(z > 1e-12, score / np.maximum(z, 1e-12), uniform)
-    # per-family floor, renormalized over active families
-    floored = np.where(active, floor_frac + (1.0 - floor_frac * n_active) *
-                       target_share, 0.0)
     new = budget * floored
-    out = np.where(active, (1.0 - ema) * probs + ema * new, probs)
+    out = np.where(measured, (1.0 - ema) * probs + ema * new, probs)
     return out.astype(np.float32)
 
 

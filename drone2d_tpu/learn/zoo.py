@@ -140,14 +140,26 @@ def train_zoo(
     import time
 
     trainer = ZooTrainer(env_cfg, ppo_cfg, num_envs)
+    if env_cfg.adaptive_rehearsal and float(
+        np.sum(np.asarray(trainer.learner.initial_rehearsal_probs()))
+    ) <= 0.0:
+        raise ValueError(
+            "adaptive_rehearsal=True with a zero rehearsal budget is a "
+            "silent no-op: set stage_mix_prob (and/or corridor_mix_prob, "
+            "cross_mix_prob) > 0 to define the budget the controller "
+            "redistributes"
+        )
     state = trainer.init(seeds)
     spu = trainer.steps_per_update
     n_updates = max((total_timesteps + spu - 1) // spu, 1)
     if snapshot_steps is not None:
+        # a requested step at/after the end still writes its ckpt_<step>.npz
+        # at the final update (new_agent.npz has no step label for
+        # select_agents to campaign over)
         snap_at = {
-            min(max(-(-int(s) // spu), 1), n_updates - 1)
+            min(max(-(-int(s) // spu), 1), n_updates)
             for s in snapshot_steps
-        } if n_updates > 1 else set()
+        }
     else:
         # clamp into [1, n_updates-1]: update 0 never fires (u starts at 1)
         # and n_updates would duplicate the final save; short runs get fewer

@@ -77,6 +77,15 @@ def train(
     init_params: str | None = None,
 ) -> None:
     learner = PPOLearner(env_cfg, ppo_cfg, train_cfg.num_envs)
+    if env_cfg.adaptive_rehearsal and float(
+        np.sum(np.asarray(learner.initial_rehearsal_probs()))
+    ) <= 0.0:
+        raise ValueError(
+            "adaptive_rehearsal=True with a zero rehearsal budget is a "
+            "silent no-op: the mix knobs define the total budget the "
+            "controller redistributes — set stage_mix_prob (and/or "
+            "corridor_mix_prob, cross_mix_prob) > 0"
+        )
     mesh = make_mesh()
     key = jax.random.PRNGKey(train_cfg.seed)
 
@@ -161,10 +170,9 @@ def train(
                             jnp.asarray(new_probs), state.rehearsal_probs.sharding
                         )
                     )
-                    for f, name in enumerate(
-                        ("stage_1", "stage_2", "stage_3", "stage_4", "stage_5",
-                         "corridor", "cross")
-                    ):
+                    from drone2d_tpu.env.types import FAMILY_NAMES
+
+                    for f, name in enumerate(FAMILY_NAMES[1:]):
                         m[f"rehearsal/p_{name}"] = float(new_probs[f])
                     print("  rehearsal:", family_report(dc, dw),
                           "->", np.round(new_probs, 3))

@@ -84,19 +84,27 @@ def restore_checkpoint(
         family_counts=np.zeros(8, np.float32),
         family_wins=np.zeros(8, np.float32),
     )
-    # checkpoints written before newer TrainState fields existed lack those
-    # keys and orbax rejects a template with extra keys; retry with each
-    # newer generation's keys dropped (the .get() fallbacks below default)
-    for drop in ((), ("rehearsal_probs", "family_counts", "family_wins"),
-                 ("episodes_total",)):
-        try:
-            tpl = {k: v for k, v in restore_tpl.items() if k not in drop}
-            payload = mgr.restore(step, args=ocp.args.StandardRestore(tpl))
-            break
-        except ValueError:
-            if drop and "episodes_total" in drop:
-                raise
-            restore_tpl = tpl
+    # checkpoints written before newer TrainState fields existed
+    # (episodes_total in r1, the PLR fields in r3) lack those keys and orbax
+    # rejects a template with extra keys.  Build the template from the
+    # checkpoint's OWN key set (the .get() fallbacks below default the
+    # missing fields) instead of retrying on error — a real failure like a
+    # params shape mismatch then surfaces undisturbed.
+    try:
+        # a reopened manager needs the handler to expose item metadata
+        meta_mgr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            item_handlers=ocp.StandardCheckpointHandler(),
+        )
+        stored_keys = set(meta_mgr.item_metadata(step).keys())
+        meta_mgr.close()
+    except Exception:
+        stored_keys = None  # metadata unavailable: try the full template
+    tpl = {
+        k: v for k, v in restore_tpl.items()
+        if stored_keys is None or k in stored_keys
+    }
+    payload = mgr.restore(step, args=ocp.args.StandardRestore(tpl))
     mgr.close()
     rng = jax.random.wrap_key_data(np.asarray(payload["rng"], np.uint32))
     probs = jax.numpy.asarray(

@@ -73,11 +73,15 @@ def main() -> None:
         losses.append(float(np.asarray(jax.device_get(metrics["loss"]))))
     run_s = time.perf_counter() - t1
 
-    # layout check: env leaves sharded over all devices, params replicated
+    # layout check: env leaves genuinely SHARDED (not merely replicated
+    # across all devices) with num_envs/n_dev rows per shard; params replicated
     env_leaf = jax.tree.leaves(state.env_state)[0]
     param_leaf = jax.tree.leaves(state.params)[0]
-    n_env_shards = len({d for s in env_leaf.sharding.device_set for d in [s]})
-    assert n_env_shards == n_dev, env_leaf.sharding
+    assert not env_leaf.sharding.is_fully_replicated, env_leaf.sharding
+    shard_rows = env_leaf.addressable_shards[0].data.shape[0]
+    assert shard_rows == args.num_envs // n_dev, (
+        shard_rows, args.num_envs, n_dev
+    )
     assert param_leaf.sharding.is_fully_replicated, param_leaf.sharding
 
     spu = args.num_envs * args.n_steps
