@@ -89,6 +89,47 @@ def load_sb3_agent(zip_path: str) -> ActorCriticParams:
     return params_from_state_dict(load_sb3_state_dict(zip_path))
 
 
+def main(argv=None) -> None:
+    """CLI: SB3 PPO zip -> train-CLI .npz (console script drone2d-import-sb3;
+    same behavior as scripts/import_sb3_agent.py)."""
+    import argparse
+    import os
+
+    p = argparse.ArgumentParser(
+        description="Import a reference SB3 PPO checkpoint (.zip) to a "
+        "drone2d_tpu .npz usable by eval/debug/train --init-params."
+    )
+    p.add_argument("zip_path")
+    p.add_argument("--out", required=True)
+    p.add_argument("--verify", action="store_true",
+                   help="cross-check the JAX forward pass against a "
+                   "torch-free numpy evaluation of the original weights")
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # host-side tool; skip the TPU
+
+    from drone2d_tpu.models.policy import params_to_flat_dict, policy_value
+
+    sd = load_sb3_state_dict(args.zip_path)
+    params = params_from_state_dict(sd)
+    if args.verify:
+        rng = np.random.default_rng(0)
+        obs = rng.standard_normal((256, params.pi[0].w.shape[0])).astype(np.float32)
+        mean_ref, value_ref = torch_policy_value(sd, obs)
+        mean_jax, _, value_jax = policy_value(params, obs)
+        err_m = float(np.max(np.abs(np.asarray(mean_jax) - mean_ref)))
+        v_scale = max(float(np.max(np.abs(value_ref))), 1.0)
+        err_v = float(np.max(np.abs(np.asarray(value_jax) - value_ref))) / v_scale
+        print(f"verify: max|mean diff| {err_m:.3e}  max rel|value diff| {err_v:.3e}")
+        assert err_m < 1e-5 and err_v < 1e-5, "transplant mismatch"
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    np.savez(args.out, **{k: np.asarray(v)
+                          for k, v in params_to_flat_dict(params).items()})
+    print(f"wrote {args.out}")
+
+
 def torch_policy_value(
     sd: Dict[str, np.ndarray], obs: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
