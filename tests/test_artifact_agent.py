@@ -142,3 +142,20 @@ def test_flagship_s147_loads_and_flies():
     cfg = scenario_config("corridor").replace(path_table_n=256)
     agent = run_episodes(cfg, params, jax.random.PRNGKey(0), 16)
     assert agent.success.mean() >= 0.6, agent.success.mean()
+
+
+def test_flagship_s223_highest_mean():
+    """agent_s223 (hunt 12, 128x128 capacity recipe) is the highest-mean
+    flagship: mean SR >= 0.84 over the 12-scenario suite under both
+    committed eval RNGs (measured 0.857 in-selection / 0.851 held-out;
+    agent_s147 holds the strict both-RNG all-12 coverage)."""
+    import json
+
+    for fname in ("summary.json", "campaign_seed777_summary.json"):
+        path = os.path.join(_ART_DIR, "agent_s223", fname)
+        assert os.path.exists(path), path
+        with open(path) as f:
+            rows = json.load(f)["scenarios"]
+        assert len(rows) == 12
+        mean_sr = sum(r["success_rate"] for r in rows) / len(rows)
+        assert mean_sr >= 0.84, (fname, mean_sr)
