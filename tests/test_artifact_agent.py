@@ -90,9 +90,9 @@ def test_single_agent_s125_covers_all_published_metrics():
 
 
 def test_flagship_s309_mean_sr():
-    """agent_s309 (timeperm-trained, hunt 4) is the highest-mean flagship:
-    mean SR >= 0.80 over the 12-scenario suite under both committed eval
-    RNGs (measured 0.835 / 0.836)."""
+    """agent_s309 (timeperm-trained, hunt 4; the r2 highest-mean 64x64
+    flagship, since superseded by s922 and s223): mean SR >= 0.80 over the
+    12-scenario suite under both committed eval RNGs (measured 0.835/0.836)."""
     import json
 
     for fname in ("summary.json", "campaign_seed777_summary.json"):
