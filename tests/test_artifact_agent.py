@@ -145,10 +145,9 @@ def test_flagship_s147_loads_and_flies():
 
 
 def test_flagship_s223_highest_mean():
-    """agent_s223 (hunt 12, 128x128 capacity recipe) is the highest-mean
-    flagship: mean SR >= 0.84 over the 12-scenario suite under both
-    committed eval RNGs (measured 0.857 in-selection / 0.851 held-out;
-    agent_s147 holds the strict both-RNG all-12 coverage)."""
+    """agent_s223 (hunt 12, 128x128 capacity recipe; highest-mean until
+    hunt 13's s250): mean SR >= 0.84 over the 12-scenario suite under both
+    committed eval RNGs (measured 0.857 in-selection / 0.851 held-out)."""
     import json
 
     for fname in ("summary.json", "campaign_seed777_summary.json"):
@@ -159,3 +158,20 @@ def test_flagship_s223_highest_mean():
         assert len(rows) == 12
         mean_sr = sum(r["success_rate"] for r in rows) / len(rows)
         assert mean_sr >= 0.84, (fname, mean_sr)
+
+
+def test_flagship_s250_highest_mean():
+    """agent_s250 (hunt 13, 128x128 capacity recipe) is the highest-mean
+    flagship: mean SR >= 0.86 over the 12-scenario suite under both
+    committed eval RNGs (measured 0.870 in-selection / 0.876 held-out;
+    stage_1 0.99 the only published-rate miss under either)."""
+    import json
+
+    for fname in ("summary.json", "campaign_seed777_summary.json"):
+        path = os.path.join(_ART_DIR, "agent_s250", fname)
+        assert os.path.exists(path), path
+        with open(path) as f:
+            rows = json.load(f)["scenarios"]
+        assert len(rows) == 12
+        mean_sr = sum(r["success_rate"] for r in rows) / len(rows)
+        assert mean_sr >= 0.86, (fname, mean_sr)
