@@ -33,7 +33,9 @@ import jax.numpy as jnp
 
 from drone2d_tpu.config import EnvConfig
 from drone2d_tpu.env import scenarios
-from drone2d_tpu.env.types import EnvState, ObstacleSet, StepOutput
+from drone2d_tpu.env.types import (
+    EnvState, ObstacleSet, StepOutput, merge_state, split_state,
+)
 from drone2d_tpu.ops import geometry, path as jpath, physics
 from drone2d_tpu.ops.transforms import invm1to1, m1to1, ssa
 
@@ -606,6 +608,55 @@ class Drone2DEnv:
         )
         new_obs = jnp.where(out.done, reset_obs, out.obs)
         return out._replace(state=new_state, obs=new_obs)
+
+    def step_autoreset_split(
+        self,
+        dyn,
+        fresh: jnp.ndarray,
+        action: jnp.ndarray,
+        init_static,
+        tmpl_static,
+        tmpl_dyn,
+        tmpl_obs: jnp.ndarray,
+    ):
+        """Split-carry auto-resetting step (the TPU hot-loop fast path).
+
+        Identical semantics to `step_autoreset_template`, re-factored around
+        the observation (docs/RESULTS.md roofline) that the done-select over
+        the FULL carry costs 9.1 of the 60 ns/env-step, almost all of it
+        rewriting per-episode constants (512-entry path table, obstacles,
+        waypoints/coefs) that `step` never touches.  Here the scan carries
+        only the mutated leaves (`EpisodeDyn`, ~15 scalars) plus one `fresh`
+        bit per env meaning "this env has auto-reset at least once this
+        chunk"; the constants are blended at read time,
+
+            static_t = where(fresh_t, template, initial),
+
+        from two loop-invariant operands that XLA fuses into the consumers
+        instead of round-tripping through the carry.  By induction
+        `static_t` equals the carried value in the template variant, so the
+        two loops are bit-exact (tests/test_env.py::test_split_carry_bitexact).
+
+        Returns (new_dyn, new_fresh, new_obs, reward, done, info).
+        """
+        static = jax.tree.map(
+            lambda a, b: jnp.where(fresh, b, a), init_static, tmpl_static
+        )
+        out = self.step(merge_state(static, dyn), action)
+        stepped_dyn = split_state(out.state)[1]
+        new_dyn = jax.tree.map(
+            lambda a, b: jnp.where(out.done, b, a), stepped_dyn, tmpl_dyn
+        )
+        new_obs = jnp.where(out.done, tmpl_obs, out.obs)
+        return new_dyn, fresh | out.done, new_obs, out.reward, out.done, out.info
+
+    def step_batch_split(
+        self, dyn, fresh, action, init_static, tmpl_static, tmpl_dyn, tmpl_obs
+    ):
+        """Batched split-carry step; statics/templates carry the env dim."""
+        return jax.vmap(
+            self.step_autoreset_split, in_axes=(0, 0, 0, 0, 0, 0, 0)
+        )(dyn, fresh, action, init_static, tmpl_static, tmpl_dyn, tmpl_obs)
 
     # -- batched helpers -------------------------------------------------------
 

@@ -53,6 +53,67 @@ class EnvState(NamedTuple):
     family: jnp.ndarray        # () int32
 
 
+class EpisodeStatic(NamedTuple):
+    """The leaves of EnvState that are constant within an episode.
+
+    `Drone2DEnv.step` never writes these (env.py step only replaces body/t/
+    path_error/total_reward/la_locked/forces); they change ONLY when an
+    auto-reset swaps in a template episode.  The split-carry hot loop
+    (`step_autoreset_split`) exploits that: instead of re-selecting the
+    ~6 KB/env of path tables + obstacles through `where(done, ...)` every
+    scanned step (measured 9.1 ns of the 60 ns step, docs/RESULTS.md
+    roofline), it carries one `fresh` bit per env and blends
+    `where(fresh, template, initial)` at read time from two loop-invariant
+    operands.  Values are identical by induction, so the split loop is
+    bit-exact vs `step_autoreset_template` (locked by tests/test_env.py).
+    """
+
+    path: PathData
+    obstacles: ObstacleSet
+    target: jnp.ndarray        # (2,)
+    family: jnp.ndarray        # () int32
+
+
+class EpisodeDyn(NamedTuple):
+    """The leaves of EnvState that `step` actually mutates (~15 scalars)."""
+
+    body: BodyState
+    t: jnp.ndarray
+    path_error: jnp.ndarray
+    total_reward: jnp.ndarray
+    la_locked: jnp.ndarray
+    left_force: jnp.ndarray
+    right_force: jnp.ndarray
+
+
+def split_state(state: EnvState) -> "tuple[EpisodeStatic, EpisodeDyn]":
+    """EnvState -> (per-episode constants, mutated-by-step leaves)."""
+    return (
+        EpisodeStatic(state.path, state.obstacles, state.target, state.family),
+        EpisodeDyn(
+            state.body, state.t, state.path_error, state.total_reward,
+            state.la_locked, state.left_force, state.right_force,
+        ),
+    )
+
+
+def merge_state(static: EpisodeStatic, dyn: EpisodeDyn) -> EnvState:
+    """Inverse of split_state."""
+    return EnvState(
+        path=static.path,
+        obstacles=static.obstacles,
+        body=dyn.body,
+        target=static.target,
+        t=dyn.t,
+        path_error=dyn.path_error,
+        total_reward=dyn.total_reward,
+        la_locked=dyn.la_locked,
+        left_force=dyn.left_force,
+        right_force=dyn.right_force,
+        family=static.family,
+    )
+
+
 # family-axis layout for rehearsal accounting (EnvState.family values)
 N_FAMILIES = 8
 FAMILY_NAMES = (
