@@ -637,6 +637,14 @@ class Drone2DEnv:
         `static_t` equals the carried value in the template variant, so the
         two loops are bit-exact (tests/test_env.py::test_split_carry_bitexact).
 
+        CONTRACT — end of chunk: the statics are never written during the
+        loop, so when a caller stops scanning it must materialize the real
+        EnvState with ONE final blend, `types.finalize_split(init_static,
+        tmpl_static, fresh, dyn)`, before starting the next chunk against a
+        new template (and reset `fresh` to False).  Skipping that blend
+        resurrects pre-reset geometry for every env that finished an episode
+        during the chunk.
+
         Returns (new_dyn, new_fresh, new_obs, reward, done, info).
         """
         static = jax.tree.map(

@@ -114,6 +114,31 @@ def merge_state(static: EpisodeStatic, dyn: EpisodeDyn) -> EnvState:
     )
 
 
+def finalize_split(init_static, tmpl_static, fresh, dyn) -> EnvState:
+    """Materialize the full EnvState at the END of a split-carry chunk.
+
+    The split-carry loop (`Drone2DEnv.step_autoreset_split`) never writes
+    the per-episode constants; the true statics at time t are the blend
+    `where(fresh_t, template, initial)`.  Any caller that stops the loop and
+    wants a real `EnvState` back — to start the next chunk against a NEW
+    template, checkpoint, or inspect — MUST apply this blend once; carrying
+    `init_static` forward unblended would silently resurrect pre-reset
+    episode geometry for every env that auto-reset during the chunk.  This
+    helper is that contract in one place (batched: all arguments may carry
+    a leading env dim, `fresh` broadcasting against each static leaf).
+    """
+    import jax
+
+    fresh = jnp.asarray(fresh)
+
+    def blend(a, b):
+        f = fresh.reshape(fresh.shape + (1,) * (jnp.ndim(a) - fresh.ndim))
+        return jnp.where(f, b, a)
+
+    static = jax.tree.map(blend, init_static, tmpl_static)
+    return merge_state(static, dyn)
+
+
 # family-axis layout for rehearsal accounting (EnvState.family values)
 N_FAMILIES = 8
 FAMILY_NAMES = (

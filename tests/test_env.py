@@ -216,3 +216,59 @@ def test_lookahead_lock_persists():
         np.asarray(state.target),
         atol=0.5,
     )
+
+
+def test_split_carry_bitexact():
+    """The split-carry hot loop (step_autoreset_split) must be bit-exact vs
+    the carried-template loop (step_autoreset_template) across several
+    done/auto-reset boundaries: per-step obs/reward/done/info AND the final
+    materialized EnvState (via types.finalize_split) are compared leaf by
+    leaf with exact equality.  This is the claim the env/types docstrings
+    make; the same blend-vs-carry induction argument is only as good as
+    this lock."""
+    from drone2d_tpu.env.types import finalize_split, split_state
+
+    cfg = EnvConfig(
+        mode="curriculum", scenario="None", n_steps=30, path_table_n=256
+    )
+    env = Drone2DEnv(cfg)
+    N, T = 16, 75  # 30-step timeout cap -> >=2 reset boundaries per env
+    init_state, init_obs = env.reset_batch(jax.random.key(40), N, 2_500_000)
+    tmpl_state, tmpl_obs = env.reset_batch(jax.random.key(41), N, 2_500_000)
+    actions = jax.random.uniform(
+        jax.random.key(42), (T, N, 2), minval=-1.0, maxval=1.0
+    )
+
+    def tmpl_scan(carry, a):
+        state, obs = carry
+        out = env.step_batch_template(state, a, tmpl_state, tmpl_obs)
+        return (out.state, out.obs), (out.obs, out.reward, out.done, out.info)
+
+    (final_tmpl, _), ys_tmpl = jax.lax.scan(
+        tmpl_scan, (init_state, init_obs), actions
+    )
+
+    init_static, init_dyn = split_state(init_state)
+    tmpl_static, tmpl_dyn = split_state(tmpl_state)
+
+    def split_scan(carry, a):
+        dyn, fresh, obs = carry
+        dyn, fresh, obs, rew, done, info = env.step_batch_split(
+            dyn, fresh, a, init_static, tmpl_static, tmpl_dyn, tmpl_obs
+        )
+        return (dyn, fresh, obs), (obs, rew, done, info)
+
+    fresh0 = jnp.zeros((N,), bool)
+    (final_dyn, final_fresh, _), ys_split = jax.lax.scan(
+        split_scan, (init_dyn, fresh0, init_obs), actions
+    )
+    final_split = finalize_split(init_static, tmpl_static, final_fresh, final_dyn)
+
+    dones = np.asarray(ys_tmpl[2])
+    assert dones.sum() >= 2 * N  # the comparison spans real reset boundaries
+    assert bool(np.asarray(final_fresh).all())
+
+    for got, want in zip(jax.tree.leaves(ys_split), jax.tree.leaves(ys_tmpl)):
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+    for got, want in zip(jax.tree.leaves(final_split), jax.tree.leaves(final_tmpl)):
+        assert np.array_equal(np.asarray(got), np.asarray(want))
