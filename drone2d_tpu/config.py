@@ -129,6 +129,28 @@ class EnvConfig:
     # (docs/RESULTS.md hunt 7).  0.0 = off.
     cross_mix_prob: float = 0.0
 
+    # Relative weights splitting stage_mix_prob across the five rehearsed
+    # stages (framework knob; default = the original uniform split).  The
+    # published stage_1 = 1.00 (barplots.py:22) demands a true success rate
+    # ~0.999+, and the known stage_1 failure mode is a slow-flight timeout
+    # attractor (docs/RESULTS.md) — weighting stage_1's rehearsal share up
+    # puts more gradient signal on finishing open-path episodes fast.
+    # Weights are normalized; they reshape the (7,) family categorical the
+    # adaptive reset path takes as DATA, so hunts over weight settings reuse
+    # one compiled program.  Non-uniform weights therefore require
+    # adaptive_rehearsal=True (enforced in learn/ppo.py); the static
+    # stage-mix path keeps its uniform in-jit draw (and its golden RNG
+    # streams) untouched.
+    stage_mix_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0, 1.0)
+
+    # PLR controller gate: with adaptive_rehearsal=True the reset path reads
+    # rehearsal probabilities as data; this host-side flag says whether the
+    # training loop's PLR-lite controller (learn/plr.py) actually reweights
+    # them between updates.  False = the probabilities stay FIXED at their
+    # stage_mix_weights initialization — a static weighted mix that shares
+    # the adaptive path's compiled program (no recompile per weight setting).
+    rehearsal_adapt: bool = True
+
     # Adaptive (PLR-lite) rehearsal: when True, the three fixed mix
     # probabilities above are replaced by a PER-EPISODE categorical over the
     # 7 rehearsal families (stage_1..stage_5, corridor, cross) whose

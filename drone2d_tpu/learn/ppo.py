@@ -189,12 +189,26 @@ class PPOLearner:
 
     def initial_rehearsal_probs(self) -> jnp.ndarray:
         """Starting family probabilities: the static mix knobs spread over
-        their families (stage_mix_prob uniformly over the 5 stages, matching
-        the static path's uniform stage draw)."""
+        their families — stage_mix_prob split across the 5 stages by
+        cfg.stage_mix_weights (default uniform, matching the static path's
+        uniform stage draw)."""
         e = self.env.cfg
+        w = [float(x) for x in e.stage_mix_weights]
+        if len(w) != 5 or min(w) < 0.0 or sum(w) <= 0.0:
+            raise ValueError(
+                f"stage_mix_weights must be 5 nonnegative weights with a "
+                f"positive sum, got {e.stage_mix_weights}"
+            )
+        stage_probs = [e.stage_mix_prob * x / sum(w) for x in w]
+        if any(abs(x - w[0]) > 1e-9 for x in w) and not e.adaptive_rehearsal:
+            raise ValueError(
+                "non-uniform stage_mix_weights only take effect through the "
+                "adaptive reset path (probabilities as data); set "
+                "adaptive_rehearsal=True (with rehearsal_adapt=False for a "
+                "fixed weighted mix)"
+            )
         return jnp.asarray(
-            [e.stage_mix_prob / 5.0] * 5 + [e.corridor_mix_prob, e.cross_mix_prob],
-            jnp.float32,
+            stage_probs + [e.corridor_mix_prob, e.cross_mix_prob], jnp.float32
         )
 
     def init(self, key: jax.Array) -> TrainState:
@@ -314,12 +328,27 @@ class PPOLearner:
         old_log_probs: jnp.ndarray,
         advantages: jnp.ndarray,
         returns: jnp.ndarray,
+        axis_name: str | None = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         cfg = self.cfg
         log_prob, entropy, value = action_log_prob_entropy(params, obs, actions)
 
-        # per-minibatch advantage normalization (SB3 normalize_advantage=True)
-        adv = (advantages - jnp.mean(advantages)) / (jnp.std(advantages) + 1e-8)
+        # Per-minibatch advantage normalization (SB3 normalize_advantage=True).
+        # Under shard_map the minibatch is the UNION of the shards' local
+        # minibatches, so the statistics are pmean'd across the mesh (equal
+        # local sizes -> pmean of local moments IS the union moment); the
+        # sharded update is then numerically the same program as large-batch
+        # single-device PPO on the union minibatch (advantages are rollout
+        # DATA, so no gradient flows through these stats).  Both branches use
+        # the same explicit two-pass formula so the 1-device-mesh path is
+        # bit-identical to the unsharded one (tests/test_parallel.py).
+        m = jnp.mean(advantages)
+        if axis_name is not None:
+            m = jax.lax.pmean(m, axis_name)
+        var = jnp.mean(jnp.square(advantages - m))
+        if axis_name is not None:
+            var = jax.lax.pmean(var, axis_name)
+        adv = (advantages - m) / (jnp.sqrt(var) + 1e-8)
 
         ratio = jnp.exp(log_prob - old_log_probs)
         pg1 = adv * ratio
@@ -365,7 +394,7 @@ class PPOLearner:
         def mb_step(carry, mb_data):
             params, opt_state = carry
             (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
-                params, *mb_data
+                params, *mb_data, axis_name=axis_name
             )
             if axis_name is not None:
                 grads = jax.lax.pmean(grads, axis_name)

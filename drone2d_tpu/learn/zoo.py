@@ -169,7 +169,10 @@ def train_zoo(
             for i in range(snapshots)
         } if n_updates > 1 else set()
 
-    adaptive = env_cfg.adaptive_rehearsal
+    # controller ticks only when the PLR controller is enabled; with
+    # rehearsal_adapt=False the probs stay fixed at their (possibly
+    # stage_mix_weights-weighted) initialization
+    adaptive = env_cfg.adaptive_rehearsal and env_cfg.rehearsal_adapt
     plr_last = (
         np.asarray(jax.device_get(state.family_counts)),
         np.asarray(jax.device_get(state.family_wins)),

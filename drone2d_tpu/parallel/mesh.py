@@ -96,20 +96,34 @@ def shard_init(mesh: Mesh, learner: PPOLearner, key: jax.Array) -> TrainState:
 def shard_update(mesh: Mesh, learner: PPOLearner):
     """Build the jitted sharded PPO update: TrainState -> (TrainState, metrics).
 
-    Each shard rolls out its local env slice; gradients, losses, and episode
-    stats are reduced across the mesh per minibatch (pmean/psum inside
-    `PPOLearner.update`), so the math matches large-batch single-device PPO
-    up to minibatch composition.
+    Each shard rolls out its local env slice; advantage-normalization
+    statistics, gradients, losses, and episode stats are reduced across the
+    mesh per minibatch (pmean/psum inside `PPOLearner.update`/`loss_fn`), so
+    the math IS large-batch single-device PPO whose k-th minibatch is the
+    union of the shards' k-th local minibatches.  Both directions are
+    executed tests, not prose: a 1-device mesh is bit-identical to
+    `PPOLearner.update`, and an 8-shard run matches a single-device
+    union-batch reference to fp-reassociation tolerance after two updates
+    (tests/test_parallel.py::test_one_device_mesh_bitwise_matches_plain,
+    ::test_eight_shard_matches_single_device_reference).
     """
     n_dev = mesh.devices.size
     local = _local_learner(learner, n_dev)
+
+    # A 1-device mesh needs no collectives: pmean/psum over a size-1 axis is
+    # semantically the identity, but the extra HLO nodes perturb XLA:CPU's
+    # fusion choices by ~1 ulp in the optimizer tail.  Skipping them makes
+    # the 1-device mesh BIT-IDENTICAL to the plain update (locked by
+    # tests/test_parallel.py); the real collective path is exercised and
+    # checked at 8 shards by the union-batch reference test.
+    axis = AXIS if n_dev > 1 else None
 
     def upd(state: TrainState):
         idx = jax.lax.axis_index(AXIS)
         # decorrelate per-shard sampling; keep the replicated parent intact
         new_state, metrics = local.update(
             state._replace(rng=jax.random.fold_in(state.rng, idx)),
-            axis_name=AXIS,
+            axis_name=axis,
         )
         # advance the REPLICATED parent rng deterministically on all shards
         next_rng = jax.random.split(state.rng, 1)[0]

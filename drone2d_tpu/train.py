@@ -151,7 +151,7 @@ def train(
                 # cumulative episodes accumulated on device (exact across
                 # skipped updates and across resume)
                 writer.set_episodes_total(int(m.pop("episodes/total")))
-                if env_cfg.adaptive_rehearsal:
+                if env_cfg.adaptive_rehearsal and env_cfg.rehearsal_adapt:
                     # PLR-lite controller tick: reweight rehearsal families
                     # by their measured failure rates since the last tick
                     # (learn/plr.py); re-enters the jitted update as data

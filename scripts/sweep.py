@@ -95,7 +95,8 @@ def main() -> None:
             if isinstance(cur, str):
                 out[k] = v
             elif isinstance(cur, tuple):
-                out[k] = tuple(int(x) for x in v.split(","))
+                elem = type(cur[0]) if cur else int
+                out[k] = tuple(elem(parse_value(x)) for x in v.split(","))
             else:
                 out[k] = type(cur)(parse_value(v))
         return out

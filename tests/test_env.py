@@ -272,3 +272,85 @@ def test_split_carry_bitexact():
         assert np.array_equal(np.asarray(got), np.asarray(want))
     for got, want in zip(jax.tree.leaves(final_split), jax.tree.leaves(final_tmpl)):
         assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+# -- initial motion (drone_2d_env.py:917-946 port; VERDICT r3 weak #3) --------
+
+
+def test_initial_motion_matches_closed_form():
+    """The optional throw+settle must equal a float64 closed-form rollout of
+    the same draws: one Chipmunk-order step with the throw force + rotation
+    couple, then n_fall_steps of free fall (gravity only, omega frozen)."""
+    cfg = STAGE1_CFG.replace(initial_motion_enabled=True, n_fall_steps=5)
+    env = Drone2DEnv(cfg)
+    key = jax.random.key(77)
+    state, _ = env.reset(key)
+
+    # reproduce the throw draws from the same stream (env.py reset splits 7
+    # keys; k_throw is the 6th, then _initial_motion splits it into 3)
+    k_throw = jax.random.split(key, 7)[5]
+    ka, kf, kr = jax.random.split(k_throw, 3)
+    throw_angle = float(jax.random.uniform(ka, ()))  * 2 * np.pi
+    throw_force = float(jax.random.uniform(kf, (), minval=0.0, maxval=1500.0))
+    rot = float(jax.random.uniform(kr, (), minval=-3000.0, maxval=3000.0))
+
+    # the pre-throw pose: same reset with the motion gate off shares every
+    # other stream, so its body is the starting point of the closed form
+    state0, _ = Drone2DEnv(STAGE1_CFG).reset(key)
+    p0 = np.asarray(state0.body.pos, np.float64)
+    a0 = float(state0.body.angle)
+    dt, g = cfg.physics_dt, np.array([0.0, cfg.gravity_y])
+    m, inertia, r = cfg.total_mass, cfg.moment_of_inertia, cfg.drone_radius
+
+    # throw step (position first with old vel=0, then velocity update)
+    f = throw_force * np.array([np.cos(throw_angle), np.sin(throw_angle)])
+    vel = (g + f / m) * dt
+    omega = (-2.0 * r * rot) / inertia * dt
+    pos, ang = p0.copy(), a0
+    # settle: free fall, omega frozen (no torque, damping 1.0)
+    for _ in range(cfg.n_fall_steps):
+        pos = pos + vel * dt
+        ang = ang + omega * dt
+        vel = vel + g * dt
+
+    np.testing.assert_allclose(np.asarray(state.body.pos), pos, atol=2e-3)
+    np.testing.assert_allclose(float(state.body.angle), ang, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state.body.vel), vel, atol=2e-3)
+    np.testing.assert_allclose(float(state.body.omega), omega, atol=1e-5)
+
+
+def test_initial_motion_noop_config_is_bitexact_with_disabled():
+    """initial_throw=False + n_fall_steps=0 makes the enabled gate a no-op:
+    reset must be BIT-identical to initial_motion_enabled=False (the throw
+    key is pre-split either way, so all other streams coincide)."""
+    base = STAGE1_CFG
+    noop = base.replace(initial_motion_enabled=True, initial_throw=False,
+                        n_fall_steps=0)
+    s_a, obs_a = Drone2DEnv(base).reset(jax.random.key(5))
+    s_b, obs_b = Drone2DEnv(noop).reset(jax.random.key(5))
+    for x, y in zip(jax.tree.leaves(s_a), jax.tree.leaves(s_b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_b))
+
+
+def test_initial_motion_trains_and_randomizes_starts():
+    """Smoke: the feature actually changes episode starts (nonzero initial
+    velocity for almost all envs; settle displaces spawn) and a PPO update
+    over it stays finite."""
+    from drone2d_tpu.config import PPOConfig
+    from drone2d_tpu.learn.ppo import PPOLearner
+
+    cfg = EnvConfig(mode="curriculum", scenario="None", path_table_n=128,
+                    golden_iters=8, initial_motion_enabled=True)
+    env = Drone2DEnv(cfg)
+    state, _ = env.reset_batch(jax.random.key(9), 32)
+    speeds = np.linalg.norm(np.asarray(state.body.vel), axis=-1)
+    assert (speeds > 1.0).mean() > 0.9          # throw + 5 settle steps
+    omegas = np.abs(np.asarray(state.body.omega))
+    assert (omegas > 1e-3).mean() > 0.9
+
+    learner = PPOLearner(cfg, PPOConfig(n_steps=8, num_minibatches=2,
+                                        n_epochs=1), 8)
+    st = jax.jit(learner.init)(jax.random.PRNGKey(0))
+    st2, metrics = jax.jit(learner.update)(st)
+    assert np.isfinite(float(metrics["loss"]))

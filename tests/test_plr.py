@@ -162,3 +162,58 @@ def test_adaptive_training_on_mesh():
     assert np.isfinite(counts).all() and counts.sum() >= 0
     assert float(np.asarray(jax.device_get(metrics["loss"]))) == pytest.approx(
         float(np.asarray(jax.device_get(metrics["loss"]))))
+
+
+# -- fixed weighted mixes (stage_mix_weights + rehearsal_adapt) ---------------
+
+
+def test_stage_mix_weights_shape_initial_probs():
+    cfg = EnvConfig(**SMALL, adaptive_rehearsal=True, stage_mix_prob=0.25,
+                    stage_mix_weights=(3.0, 1.0, 1.0, 1.0, 1.0),
+                    corridor_mix_prob=0.02)
+    learner = PPOLearner(cfg, PPOConfig(n_steps=8, num_minibatches=2), 4)
+    probs = np.asarray(learner.initial_rehearsal_probs())
+    # budget conserved, split 3:1:1:1:1 over stages; corridor untouched
+    np.testing.assert_allclose(probs[:5].sum(), 0.25, rtol=1e-6)
+    np.testing.assert_allclose(probs[0], 0.25 * 3 / 7, rtol=1e-6)
+    np.testing.assert_allclose(probs[1:5], 0.25 / 7, rtol=1e-6)
+    np.testing.assert_allclose(probs[5], 0.02, rtol=1e-6)
+
+
+def test_nonuniform_weights_require_adaptive_path():
+    cfg = EnvConfig(**SMALL, stage_mix_prob=0.25,
+                    stage_mix_weights=(3.0, 1.0, 1.0, 1.0, 1.0))
+    learner = PPOLearner(cfg, PPOConfig(n_steps=8, num_minibatches=2), 4)
+    with pytest.raises(ValueError, match="adaptive"):
+        learner.initial_rehearsal_probs()
+
+
+def test_bad_weights_rejected():
+    for bad in ((1.0, 1.0), (1.0, -1.0, 1.0, 1.0, 1.0), (0.0,) * 5):
+        cfg = EnvConfig(**SMALL, adaptive_rehearsal=True, stage_mix_prob=0.2,
+                        stage_mix_weights=bad)
+        learner = PPOLearner(cfg, PPOConfig(n_steps=8, num_minibatches=2), 4)
+        with pytest.raises(ValueError, match="stage_mix_weights"):
+            learner.initial_rehearsal_probs()
+
+
+def test_rehearsal_adapt_false_keeps_probs_fixed():
+    """train_zoo with adaptive_rehearsal=True + rehearsal_adapt=False must
+    leave rehearsal_probs exactly at their weighted initialization (the
+    fixed-weighted-mix mode the stage_1 hunts rely on)."""
+    import tempfile
+
+    from drone2d_tpu.learn.zoo import ZooTrainer, train_zoo
+
+    cfg = EnvConfig(**SMALL, adaptive_rehearsal=True, rehearsal_adapt=False,
+                    stage_mix_prob=0.4,
+                    stage_mix_weights=(4.0, 1.0, 1.0, 1.0, 1.0))
+    ppo = PPOConfig(n_steps=8, num_minibatches=2, n_epochs=1)
+    with tempfile.TemporaryDirectory() as d:
+        state = train_zoo(cfg, ppo, 8, [0, 1], 8 * 8 * 4, d,
+                          snapshots=0, log_every=1)
+    got = np.asarray(state.rehearsal_probs)
+    want = np.asarray(
+        PPOLearner(cfg, ppo, 8).initial_rehearsal_probs()
+    )
+    np.testing.assert_array_equal(got, np.broadcast_to(want, got.shape))
