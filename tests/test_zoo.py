@@ -36,6 +36,13 @@ def test_zoo_sharded_population_over_mesh():
     n_dev = mesh.devices.size
     trainer = ZooTrainer(EnvConfig(**SMALL_ENV), PPOConfig(**SMALL_PPO), num_envs=8)
     state = shard_population(trainer.init(list(range(n_dev))), mesh)
+    # the claim is literal: the compiled module contains NO collectives (the
+    # population axis is embarrassingly parallel; docs/RESULTS.md projects
+    # pod scaling from exactly this property)
+    hlo = jax.jit(trainer.update).lower(state).compile().as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "reduce-scatter", "all-to-all"):
+        assert op not in hlo, op
     state2, metrics = trainer.update(state)
     assert metrics["loss"].shape == (n_dev,)
     assert np.all(np.isfinite(np.asarray(metrics["loss"])))
