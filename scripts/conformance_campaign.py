@@ -39,17 +39,38 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 REF = "/root/reference"
+# name -> (zip, [committed campaign dirs]); an empty dir list means the
+# reference committed no >=100-episode campaign for this agent — the agent
+# is still transplanted and behaviorally exercised over the full 12-scenario
+# suite, and its profile recorded as a fingerprint (VERDICT r3 #4).
 AGENTS = {
-    # name -> (zip, committed campaign dir, scenario subdir glob style)
     "agent_17_90": (
         f"{REF}/ppo_agents/PFCA_see_3_obs_17_90.zip",
-        f"{REF}/best_models_config_and_res/run17see3/res",
+        [f"{REF}/best_models_config_and_res/run17see3/res"],
     ),
     "agent_21_90": (
         f"{REF}/ppo_agents/PFCA_see_3_obs_21_90.zip",
-        f"{REF}/Tests/agent_21/test_0",
+        [f"{REF}/Tests/agent_21/test_0"],
+    ),
+    # agent_19's committed >=100-episode campaigns are the two 'large' runs
+    # (Tests/agent_19/test_{0,1}/large, n=100 each; every other agent_19
+    # dir is a single-episode artifact and is skipped by the n>=100 filter)
+    "agent_19_90": (
+        f"{REF}/ppo_agents/PFCA_see_3_obs_19_90.zip",
+        [f"{REF}/Tests/agent_19/test_0", f"{REF}/Tests/agent_19/test_1"],
+    ),
+    "agent_20_90": (
+        f"{REF}/ppo_agents/PFCA_see_3_obs_20_90.zip",
+        [],
     ),
 }
+
+# all 12 published benchmark scenarios, for profile-only agents
+ALL_SCENARIO_NAMES = (
+    "perpendicular", "parallel", "S_parallel", "corridor", "S_corridor",
+    "large", "impossible",
+    "stage_1", "stage_2", "stage_3", "stage_4", "stage_5",
+)
 
 
 def parse_results_txt(path: str) -> dict:
@@ -73,16 +94,26 @@ def parse_results_txt(path: str) -> dict:
     return out
 
 
-def committed_scenarios(res_dir: str) -> dict:
-    """scenario -> parsed results.txt for every scenario dir present."""
+def committed_scenarios(res_dirs, min_episodes: int = 100) -> dict:
+    """label -> (scenario, parsed results.txt) over one or more campaign
+    dirs.  Campaigns below min_episodes (the reference committed many n=1
+    smoke artifacts, e.g. Tests/agent_19/test_2..7) are skipped; when the
+    same scenario appears in several dirs the label carries the dir name."""
     out = {}
-    for entry in sorted(os.listdir(res_dir)):
-        d = os.path.join(res_dir, entry)
-        if not os.path.isdir(d) or entry == "plots":
-            continue
-        txts = [f for f in os.listdir(d) if f.endswith("results.txt")]
-        if txts:
-            out[entry] = parse_results_txt(os.path.join(d, txts[0]))
+    for res_dir in res_dirs:
+        tag = os.path.basename(os.path.normpath(res_dir))
+        for entry in sorted(os.listdir(res_dir)):
+            d = os.path.join(res_dir, entry)
+            if not os.path.isdir(d) or entry == "plots":
+                continue
+            txts = [f for f in os.listdir(d) if f.endswith("results.txt")]
+            if not txts:
+                continue
+            row = parse_results_txt(os.path.join(d, txts[0]))
+            if row.get("successes", 0) + row.get("fails", 0) < min_episodes:
+                continue
+            label = entry if len(res_dirs) == 1 else f"{entry}@{tag}"
+            out[label] = (entry, row)
     return out
 
 
@@ -118,11 +149,15 @@ def main(argv=None) -> None:
     report = {"episodes": args.episodes, "seeds": args.seeds, "agents": {}}
 
     for name in args.agents:
-        zip_path, res_dir = AGENTS[name]
+        zip_path, res_dirs = AGENTS[name]
         params = load_sb3_agent(zip_path)
-        ref = committed_scenarios(res_dir)
+        ref = committed_scenarios(res_dirs)
+        if not ref:
+            # no committed >=100-episode campaign: behavioral fingerprint
+            # over the full 12-scenario suite, recorded for regression
+            ref = {s: (s, None) for s in ALL_SCENARIO_NAMES}
         rows = []
-        for scenario, ref_row in ref.items():
+        for label, (scenario, ref_row) in ref.items():
             cfg = scenario_config(scenario)
             ours = []
             for seed in args.seeds:
@@ -137,6 +172,14 @@ def main(argv=None) -> None:
                     avg_ape=float(np.mean(r.ape)),
                     avg_flight_time=float(np.mean(r.time_steps.astype(np.float64))),
                 ))
+            sr_ours = "/".join(f"{o['success_rate']:.2f}" for o in ours)
+            ape_ours = "/".join(f"{o['avg_ape']:.0f}" for o in ours)
+            if ref_row is None:
+                rows.append(dict(scenario=scenario, label=label, ref=None,
+                                 ours=ours, z_success=None, agree=None))
+                print(f"[prof] {name} {label:>14s}: SR ours {sr_ours}"
+                      f"  APE ours {ape_ours}")
+                continue
             n_ref = ref_row["successes"] + ref_row["fails"]
             z_sr = [
                 two_prop_z(o["success_rate"], ref_row["success_rate"],
@@ -144,26 +187,28 @@ def main(argv=None) -> None:
                 for o in ours
             ]
             row = dict(
-                scenario=scenario, ref=ref_row, ours=ours, z_success=z_sr,
-                agree=all(abs(z) <= 3.0 for z in z_sr),
+                scenario=scenario, label=label, ref=ref_row, ours=ours,
+                z_success=z_sr, agree=all(abs(z) <= 3.0 for z in z_sr),
             )
             rows.append(row)
             flag = "ok " if row["agree"] else "DIFF"
-            sr_ours = "/".join(f"{o['success_rate']:.2f}" for o in ours)
-            ape_ours = "/".join(f"{o['avg_ape']:.0f}" for o in ours)
             print(
-                f"[{flag}] {name} {scenario:>14s}: SR ref {ref_row['success_rate']:.2f}"
+                f"[{flag}] {name} {label:>14s}: SR ref {ref_row['success_rate']:.2f}"
                 f" ours {sr_ours}  (z={'/'.join(f'{z:+.1f}' for z in z_sr)})"
                 f"  APE ref {ref_row['avg_ape']:.0f} ours {ape_ours}"
             )
-        report["agents"][name] = dict(zip=zip_path, committed=res_dir, rows=rows)
+        report["agents"][name] = dict(zip=zip_path, committed=res_dirs, rows=rows)
 
     out_path = os.path.join(args.out, "report.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
-    n_rows = sum(len(a["rows"]) for a in report["agents"].values())
-    n_agree = sum(r["agree"] for a in report["agents"].values() for r in a["rows"])
-    print(f"\n{n_agree}/{n_rows} scenario campaigns agree (|z| <= 3); wrote {out_path}")
+    checked = [r for a in report["agents"].values() for r in a["rows"]
+               if r["agree"] is not None]
+    n_prof = sum(1 for a in report["agents"].values() for r in a["rows"]
+                 if r["agree"] is None)
+    n_agree = sum(r["agree"] for r in checked)
+    print(f"\n{n_agree}/{len(checked)} scenario campaigns agree (|z| <= 3)"
+          f" + {n_prof} profile-only rows; wrote {out_path}")
 
 
 if __name__ == "__main__":

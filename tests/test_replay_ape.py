@@ -31,6 +31,10 @@ REF = "/root/reference"
 CAMPAIGNS = {
     "17": f"{REF}/best_models_config_and_res/run17see3/res",
     "21": f"{REF}/Tests/agent_21/test_0",
+    # agent_19's two committed 100-episode campaigns (VERDICT r3 #4) —
+    # both are 'large'-scenario runs; other scenarios skip on missing paths
+    "19a": f"{REF}/Tests/agent_19/test_0",
+    "19b": f"{REF}/Tests/agent_19/test_1",
 }
 STRAIGHT = ["perpendicular", "parallel", "corridor", "impossible"]
 CURVED = ["S_parallel", "S_corridor", "large"]
@@ -53,7 +57,11 @@ def test_straight_scenarios_replay_exactly(agent, scenario):
     from drone2d_tpu.eval.replay import replay_campaign
 
     rep = replay_campaign(_campaign(agent, scenario), scenario)
-    assert len(rep.ape_ref) == 100
+    # 17/21 committed full 100-episode campaigns; agent_19's non-'large'
+    # dirs are single-episode artifacts — replay whatever was committed
+    if agent in ("17", "21"):
+        assert len(rep.ape_ref) == 100
+    assert len(rep.ape_ref) >= 1
     assert rep.abs_err.max() < 0.05, rep.abs_err.max()
 
 
