@@ -126,6 +126,7 @@ def train_zoo(
     snapshots: int = 3,
     snapshot_steps: Optional[Sequence[int]] = None,
     log_every: int = 20,
+    init_params: Optional[str] = None,
 ) -> TrainState:
     """Train the whole seed population to total_timesteps each, snapshotting
     intermediate per-seed .npz checkpoints along the way: `snapshots` evenly
@@ -150,6 +151,26 @@ def train_zoo(
             "redistributes"
         )
     state = trainer.init(seeds)
+    if init_params:
+        # population fine-tune: every member warm-starts from the same saved
+        # agent (policy only — optimizer state, env batches, and rng streams
+        # stay per-seed, so members diverge through data order and sampling)
+        from drone2d_tpu.eval.run import load_params
+
+        loaded = load_params(init_params)
+        got = jax.tree.map(lambda x: jnp.shape(x), loaded)
+        want = jax.tree.map(lambda x: jnp.shape(x)[1:], state.params)
+        if jax.tree.leaves(got) != jax.tree.leaves(want):
+            raise ValueError(
+                f"init_params {init_params} has shapes {got}, but the "
+                f"population expects {want} (check hidden_sizes)"
+            )
+        S = len(seeds)
+        state = state._replace(params=jax.tree.map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x), (S,) + jnp.shape(x)),
+            loaded,
+        ))
+        print(f"warm-started {S} members from {init_params}")
     spu = trainer.steps_per_update
     n_updates = max((total_timesteps + spu - 1) // spu, 1)
     if snapshot_steps is not None:

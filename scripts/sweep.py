@@ -60,6 +60,11 @@ def main() -> None:
         "the sample-efficiency frontier)",
     )
     p.add_argument(
+        "--init-params", default=None, metavar="NPZ",
+        help="warm-start every seed's policy from this saved agent "
+        "(population fine-tuning; hidden_sizes must match)",
+    )
+    p.add_argument(
         "--vmap", type=int, default=0, metavar="S",
         help="train seeds in vmapped populations of S (learn/zoo.py: one "
         "device program per S seeds, several-fold faster than sequential "
@@ -119,6 +124,7 @@ def main() -> None:
                 args.num_envs, chunk, args.total_timesteps, args.out,
                 snapshots=args.snapshots,
                 snapshot_steps=args.snapshot_steps,
+                init_params=args.init_params,
             )
             print(f"=== zoo chunk {chunk}: trained ({time.time()-t0:.0f}s), "
                   f"eval via select_agents.py")
@@ -139,6 +145,7 @@ def main() -> None:
             env_cfg,
             PPOConfig(n_steps=args.n_steps, num_minibatches=args.num_minibatches,
                       shuffle=args.shuffle, **ppo_overrides),
+            init_params=args.init_params,
         )
         train_s = time.time() - t0
         if args.no_eval:

@@ -97,3 +97,31 @@ def test_train_zoo_snapshot_steps(tmp_path):
     files = set(os.listdir(f"{out}/seed_7"))
     # step 1 rounds up to the first update (1*spu); 3*spu lands exactly
     assert files == {f"ckpt_{spu}.npz", f"ckpt_{3*spu}.npz", "new_agent.npz"}, files
+
+
+def test_train_zoo_warm_start(tmp_path):
+    """Population fine-tuning: every member starts from the same saved
+    agent's policy (optimizer/env/rng stay per-seed), and mismatched
+    capacities are rejected."""
+    import pytest
+
+    # save a source agent
+    trainer = ZooTrainer(EnvConfig(**SMALL_ENV), PPOConfig(**SMALL_PPO), num_envs=8)
+    src = trainer.init([11])
+    [src_path] = save_zoo(src, [11], str(tmp_path / "src"))
+
+    out = str(tmp_path / "ft")
+    state = train_zoo(EnvConfig(**SMALL_ENV), PPOConfig(**SMALL_PPO), 8,
+                      [0, 1], 8 * 8, out, snapshots=0, init_params=src_path)
+    # one update from a shared start: members have begun to diverge but both
+    # trained FROM the source (not from their seed inits)
+    w = np.asarray(state.params.pi[0].w)
+    src_w = np.asarray(jax.tree.map(lambda x: x[0], src.params).pi[0].w)
+    assert np.abs(w - src_w).max() < 0.1          # one small step away
+    fresh = trainer.init([0, 1])
+    assert np.abs(np.asarray(fresh.params.pi[0].w) - src_w).max() > 0.1
+
+    with pytest.raises(ValueError, match="hidden_sizes"):
+        train_zoo(EnvConfig(**SMALL_ENV),
+                  PPOConfig(**SMALL_PPO, hidden_sizes=(32, 32)), 8,
+                  [0], 8 * 8, out, snapshots=0, init_params=src_path)
