@@ -8,8 +8,10 @@ actually flies in the rebuilt env at its committed skill level.
 
 The full 100-episode x 12-scenario x 2-eval-seed campaign comparison lives in
 `scripts/conformance_campaign.py` (committed report:
-artifacts/conformance/report.json — 21/21 scenario campaigns agree with the
-reference's committed results at |z| <= 3).
+artifacts/conformance/report.json — 23/23 scenario campaigns across agents
+17/21/19 agree with the reference's committed results at |z| <= 3, plus
+agent_20's 12-scenario behavioral fingerprint recorded; every published
+agent the reference shipped >=100-episode numbers for is reproduced).
 """
 
 import os
