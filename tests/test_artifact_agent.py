@@ -175,3 +175,57 @@ def test_flagship_s250_highest_mean():
         assert len(rows) == 12
         mean_sr = sum(r["success_rate"] for r in rows) / len(rows)
         assert mean_sr >= 0.86, (fname, mean_sr)
+
+
+def test_flagship_s5004_strict_dominance():
+    """agent_s5004 (hunt 5: PP_rew_max=8 pace fine-tune from agent_s147 —
+    the round-4 saturation analysis in RESULTS.md) is the first
+    STRICT-DOMINANCE flagship: every one of the 12 published success rates
+    matched-or-beaten at n=1000 under a fresh RNG (seed 559, never used in
+    selection), including the published stage_1 = 1.00 covered EXACTLY
+    (1000/1000).  Also holds at n=100 under both committed eval RNGs.
+    Asserted from the committed campaign summaries."""
+    import json
+
+    from drone2d_tpu.eval.barplots import PUBLISHED_SR
+
+    for fname, min_mean in (
+        ("summary.json", 0.84),
+        ("campaign_seed777_summary.json", 0.83),
+        ("campaign_n1000_summary.json", 0.845),
+    ):
+        path = os.path.join(_ART_DIR, "agent_s5004", fname)
+        assert os.path.exists(path), path
+        with open(path) as f:
+            payload = json.load(f)
+        rates = {r["scenario"]: r["success_rate"] for r in payload["scenarios"]}
+        assert len(rates) == 12
+        for scen, target in PUBLISHED_SR.items():
+            assert rates[scen] >= target, (fname, scen, rates[scen], target)
+        assert rates["stage_1"] == 1.0, (fname, rates["stage_1"])
+        mean_sr = sum(rates.values()) / len(rates)
+        assert mean_sr >= min_mean, (fname, mean_sr)
+    with open(os.path.join(_ART_DIR, "agent_s5004",
+                           "campaign_n1000_summary.json")) as f:
+        n1000 = json.load(f)
+    assert all(r["episodes"] >= 1000 for r in n1000["scenarios"])
+
+
+def test_flagship_s5004_loads_and_flies_fast():
+    """The strict-dominance artifact loads through the public loader and
+    keeps the pace property that won it: stage_1 mean flight time well
+    under the pre-pace agents' ~920 steps."""
+    import numpy as np
+
+    from drone2d_tpu.eval.episode import run_episodes
+    from drone2d_tpu.eval.run import load_params, scenario_config
+
+    path = os.path.join(_ART_DIR, "agent_s5004", "new_agent.npz")
+    if not os.path.exists(path):
+        pytest.skip("agent_s5004 artifact not present")
+    params = load_params(os.path.abspath(path))
+    assert params.pi[0].w.shape == (27, 128)
+    cfg = scenario_config("stage_1").replace(path_table_n=256)
+    r = run_episodes(cfg, params, jax.random.PRNGKey(3), 16)
+    assert r.success.mean() >= 0.9, r.success.mean()
+    assert float(np.mean(r.time_steps)) <= 800.0, np.mean(r.time_steps)
