@@ -21,6 +21,17 @@ Numerics match models/policy.py `sample_action` (same tanh/exp/log-prob
 formulas, f32 throughout); parity is locked by tests/test_pallas_policy.py
 in interpret mode, and the TPU verdict comes from
 scripts/bench_fused_policy.py.
+
+VERDICT (round 4, real v5e chip, 4096-env batch under a 256-iter scan):
+XLA 33.7/27.0/26.6 ns/env-sample vs pallas 39.0/31.7/34.5 at block
+256/1024/2048 — XLA wins a THIRD time (1.16–1.30x), consistent with the
+round-2 closest-point retirement: at these sub-MXU-tile shapes XLA's own
+fusion pipeline is the floor, and a hand kernel only removes fusion
+opportunities *across* op boundaries (the production step fuses the
+policy chain into neighbouring env work, which this kernel would break).
+RETIRED as an experiment: not wired into any production path; kept (with
+its parity test) as the documented negative that closes VERDICT r3 #8.
+Evidence: artifacts/campaigns/r4/bench_fused_policy.json.
 """
 
 from __future__ import annotations
