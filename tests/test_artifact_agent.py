@@ -257,3 +257,31 @@ def test_flagship_s6006_strict_dominance_and_mean_crown():
         assert rates["stage_1"] == 1.0, (fname, rates["stage_1"])
         mean_sr = sum(rates.values()) / len(rates)
         assert mean_sr >= min_mean, (fname, mean_sr)
+
+
+def test_flagship_s8004_final_round4_crown():
+    """agent_s8004 (gen-2 iterated pace fine-tune, s250 -> s6006 -> s8004)
+    is the final round-4 flagship: strictly dominant over every published
+    success rate at n=1000 under a fresh never-selected RNG with stage_1
+    1000/1000, at the highest true mean measured (0.8822; the gen-3
+    iteration plateaus below it).  Asserted from committed summaries."""
+    import json
+
+    from drone2d_tpu.eval.barplots import PUBLISHED_SR
+
+    for fname, min_mean in (
+        ("summary.json", 0.86),
+        ("campaign_seed777_summary.json", 0.86),
+        ("campaign_n1000_summary.json", 0.875),
+    ):
+        path = os.path.join(_ART_DIR, "agent_s8004", fname)
+        assert os.path.exists(path), path
+        with open(path) as f:
+            payload = json.load(f)
+        rates = {r["scenario"]: r["success_rate"] for r in payload["scenarios"]}
+        assert len(rates) == 12
+        for scen, target in PUBLISHED_SR.items():
+            assert rates[scen] >= target, (fname, scen, rates[scen], target)
+        assert rates["stage_1"] == 1.0, (fname, rates["stage_1"])
+        mean_sr = sum(rates.values()) / len(rates)
+        assert mean_sr >= min_mean, (fname, mean_sr)
