@@ -199,3 +199,22 @@ def run_episodes_multi(
         fn = jax.vmap(jax.vmap(one_episode, in_axes=(None, 0)), in_axes=(0, 0))
     metrics, traj, angles, traj_len = jax.jit(fn)(params_stack, keys)
     return _to_results(metrics, traj, angles, traj_len)
+
+
+def campaign_keys(seed: int, scenario: str, n_chunks: int):
+    """The committed campaign-RNG scheme shared by every precision tool
+    (scripts/{precision_campaign,stage1_failure_modes,stage1_time_margin}.py):
+    chunk c of a scenario's campaign uses
+
+        fold_in(fold_in(PRNGKey(seed), crc32(scenario) % 2**30), c)
+
+    The crc32 scenario tag keeps streams disjoint across scenarios at the
+    same seed and is stable across processes (unlike hash()).  Campaigns
+    are reproducible and extendable: more chunks = more episodes, never
+    reusing a key.  All artifacts under artifacts/campaigns/r4/ produced
+    by precision_campaign.py used exactly this scheme."""
+    import zlib
+
+    tag = zlib.crc32(scenario.encode()) % (1 << 30)
+    base = jax.random.fold_in(jax.random.PRNGKey(seed), tag)
+    return [jax.random.fold_in(base, c) for c in range(n_chunks)]

@@ -109,8 +109,10 @@ def main() -> None:
     if args.n1000:
         with open(args.n1000) as f:
             rep = json.load(f)
+        # report labels are relpaths (precision_campaign.py); compare on
+        # abspath so absolute agent paths / different cwds still match
         match = [lab for lab in rep["agents"]
-                 if os.path.normpath(lab) == os.path.normpath(args.agent)]
+                 if os.path.abspath(lab) == os.path.abspath(args.agent)]
         if not match:
             sys.exit(f"{args.agent} not found in {args.n1000}")
         rows = []

@@ -12,8 +12,10 @@ per-agent per-scenario aggregates with exact success/failure counts.
         artifacts/agent_s250/new_agent.npz --scenarios stage_1 \
         --episodes 4000 --chunk 500 --seed 555 --out artifacts/stage1_assay.json
 
-Chunk RNGs are `fold_in(PRNGKey(seed), chunk_index)` so campaigns are
-reproducible and extendable (more chunks = more episodes, no reuse).
+Chunk RNGs follow `eval.episode.campaign_keys`: chunk c of scenario s uses
+`fold_in(fold_in(PRNGKey(seed), crc32(s) % 2**30), c)` — per-scenario
+disjoint, process-stable, reproducible and extendable (more chunks = more
+episodes, no key reuse).
 """
 
 from __future__ import annotations
@@ -22,7 +24,6 @@ import argparse
 import json
 import os
 import sys
-import zlib
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -49,7 +50,7 @@ def main() -> None:
     import numpy as np
 
     from drone2d_tpu.config import ALL_SCENARIOS
-    from drone2d_tpu.eval.episode import run_episodes_multi
+    from drone2d_tpu.eval.episode import campaign_keys, run_episodes_multi
     from drone2d_tpu.eval.run import load_params, scenario_config
 
     scenarios = args.scenarios or list(ALL_SCENARIOS)
@@ -67,13 +68,10 @@ def main() -> None:
         "note": args.note,
         "agents": {lab: {} for lab in labels},
     }
-    base = jax.random.PRNGKey(args.seed)
     for scen in scenarios:
         cfg = scenario_config(scen)
         acc = None
-        for c in range(n_chunks):
-            scen_tag = zlib.crc32(scen.encode()) % (1 << 30)  # stable across runs
-            key = jax.random.fold_in(jax.random.fold_in(base, scen_tag), c)
+        for key in campaign_keys(args.seed, scen, n_chunks):
             res = run_episodes_multi(cfg, stack, key, args.chunk)
             cols = dict(
                 success=res.success.sum(axis=1), fail=res.fail.sum(axis=1),

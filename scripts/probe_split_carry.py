@@ -2,9 +2,10 @@
 
 Times the bench chunk (policy sample + env step + auto-reset) both ways at
 the headline shape (4096 envs x 256-step scan) and prints ns/env-step for
-each plus the speedup.  Also asserts the two loops agree bit-exactly on the
-summed reward, the cheap on-device part of the bit-identity argument (the
-full pytree check lives in tests/test_env.py).
+each plus the speedup.  Also asserts the two loops agree bit-exactly on
+the full per-step (T, n) reward arrays (device_get + np.array_equal — the
+actual bit-identity claim, not a float reduction; the full pytree check
+lives in tests/test_env.py::test_split_carry_bitexact).
 """
 
 from __future__ import annotations

@@ -34,22 +34,22 @@ def main() -> None:
     setup_runtime()
     if not wait_for_accelerator():
         sys.exit("accelerator backend unavailable; aborting")
-    import jax
     import numpy as np
 
-    from drone2d_tpu.config import EnvConfig
-    from drone2d_tpu.eval.episode import run_episodes
+    from drone2d_tpu.eval.episode import campaign_keys, run_episodes
     from drone2d_tpu.eval.run import load_params, scenario_config
 
     cfg = scenario_config("stage_1")
     params = load_params(args.agent)
-    cap = EnvConfig().n_steps
+    cap = cfg.n_steps  # the cap the episodes actually run with
 
     n_to, n_aa, n_coll, n_succ, n_fail = 0, 0, 0, 0, 0
     to_ape, aa_t = [], []
     n_chunks = (args.episodes + args.chunk - 1) // args.chunk
-    for c in range(n_chunks):
-        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), c)
+    # NOTE: the r4 committed artifact (stage1_failmodes_s1014.json) predates
+    # the shared campaign_keys scheme and used fold_in(PRNGKey(seed), c);
+    # numbers remain valid for their recorded seed, streams just differ.
+    for key in campaign_keys(args.seed, "stage_1", n_chunks):
         r = run_episodes(cfg, params, key, args.chunk)
         succ = r.success.astype(bool)
         fail = r.fail.astype(bool)
