@@ -69,6 +69,17 @@ PUBLISHED_SR: Dict[str, float] = {
                (v / 100.0 for v in STAGES_DATA["reactive"]["SR"]))),
 }
 
+# Published "Reactive" AAPE (px; the table says cm, but the values are the
+# env's pixel-space APE means — reference barplots.py:8,26) keyed by
+# scenario name.  Single source for the r5 AAPE-axis work
+# (scripts/aape_survivorship.py, select_agents.py AAPE coverage).
+PUBLISHED_AAPE: Dict[str, float] = {
+    **dict(zip(_SCENARIO_KEYS,
+               (float(v) for v in SCENARIO_DATA["reactive"]["AAPE"]))),
+    **dict(zip(_STAGE_KEYS,
+               (float(v) for v in STAGES_DATA["reactive"]["AAPE"]))),
+}
+
 _METRIC_TITLES = {
     "AAPE": ("Average APE [cm]", "AAPE"),
     "SR": ("Success rate [%]", "Success rate"),

@@ -78,12 +78,10 @@ def main() -> None:
     if os.path.abspath(args.agent) != os.path.abspath(dst):
         shutil.copyfile(args.agent, dst)
     params = load_params(dst)
-    import numpy as np
-
-    raw = np.load(dst)
-    hidden = [int(raw[k].shape[1]) for k in sorted(raw.files)
-              if k.startswith("pi") and k.endswith("/w")
-              and not k.startswith("pi_out")]
+    # hidden sizes straight from the loaded param pytree (ADVICE r4: key-name
+    # scanning over the npz silently produced [] if naming ever changed)
+    hidden = [int(layer.w.shape[1]) for layer in params.pi]
+    assert hidden, "loaded params have no pi hidden layers"
 
     for eval_seed, fname, tag in (
         (0, "summary.json", "IN-SELECTION (seed 0 ranked the hunt pool)"),

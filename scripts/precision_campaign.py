@@ -83,9 +83,19 @@ def main() -> None:
             }
         for i, lab in enumerate(labels):
             n = float(acc["success"][i] + acc["fail"][i])
+            # Every episode reports ape/time exactly once, so those averages
+            # divide by `total`; n can exceed total only via the deliberate
+            # reference-parity dual latch (reach-end + step-cap on the same
+            # step, eval/episode.py) — surface any divergence instead of
+            # letting the averages silently skew (ADVICE r4).
+            if n != total:
+                print(f"WARNING: {lab}/{scen}: success+fail = {int(n)} != "
+                      f"{total} episodes (dual-latch or lost outcome)",
+                      flush=True)
             sr = float(acc["success"][i]) / max(n, 1.0)
             report["agents"][lab][scen] = dict(
                 episodes=int(n),
+                episodes_run=total,
                 successes=int(acc["success"][i]),
                 success_rate=sr,
                 sr_stderr=float(np.sqrt(sr * (1 - sr) / max(n, 1.0))),

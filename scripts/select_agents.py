@@ -27,9 +27,9 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# Reference barplots.py:6-29 "Reactive" success rates (fractions) — single
-# source shared with the artifact regression tests.
-from drone2d_tpu.eval.barplots import PUBLISHED_SR
+# Reference barplots.py:6-29 "Reactive" success rates (fractions) and AAPE
+# (px) — single source shared with the artifact regression tests.
+from drone2d_tpu.eval.barplots import PUBLISHED_AAPE, PUBLISHED_SR
 
 
 def find_candidates(run_dirs, finals_only=False):
@@ -114,7 +114,9 @@ def main() -> None:
             )
         print(f"  {scen}: done (best SR {sr.max():.2f})")
 
-    # ranking: published-coverage count first, then mean SR
+    # ranking: published-SR coverage first, then published-AAPE coverage
+    # (r5 dual-table goal: at-or-below the published "Reactive" AAPE too),
+    # then mean SR
     rows = []
     for label, per in table.items():
         srs = {s: per[s]["success_rate"] for s in scenarios}
@@ -123,15 +125,20 @@ def main() -> None:
             1 for s in scenarios
             if s in PUBLISHED_SR and srs[s] >= PUBLISHED_SR[s]
         )
-        rows.append((covered, mean_sr, label, srs))
+        ape_covered = sum(
+            1 for s in scenarios
+            if s in PUBLISHED_AAPE and per[s]["avg_ape"] <= PUBLISHED_AAPE[s]
+        )
+        rows.append((covered, ape_covered, mean_sr, label, srs))
     rows.sort(reverse=True)
 
-    width = max(len(r[2]) for r in rows)
+    width = max(len(r[3]) for r in rows)
     head = " ".join(f"{s[:6]:>6s}" for s in scenarios)
-    print(f"\n{'candidate':>{width}s} cover meanSR {head}")
-    for covered, mean_sr, label, srs in rows:
+    print(f"\n{'candidate':>{width}s} cover aape meanSR {head}")
+    for covered, ape_covered, mean_sr, label, srs in rows:
         vals = " ".join(f"{srs[s]:6.2f}" for s in scenarios)
-        print(f"{label:>{width}s} {covered:5d} {mean_sr:6.3f} {vals}")
+        print(f"{label:>{width}s} {covered:5d} {ape_covered:4d} "
+              f"{mean_sr:6.3f} {vals}")
 
     if args.out:
         with open(args.out, "w") as f:

@@ -42,7 +42,16 @@ def test_zoo_sharded_population_over_mesh():
     hlo = jax.jit(trainer.update).lower(state).compile().as_text()
     for op in ("all-reduce", "all-gather", "collective-permute",
                "reduce-scatter", "all-to-all"):
-        assert op not in hlo, op
+        # INTENT: the population-axis update must compile with zero
+        # cross-device communication.  This greps compiled-HLO op names,
+        # which is brittle across XLA upgrades (ADVICE r4) — if an upgrade
+        # renames collectives, re-pin the list rather than weakening the
+        # no-communication claim.
+        assert op not in hlo, (
+            f"collective '{op}' appeared in the population update HLO — "
+            f"either a real sharding regression (the population axis must "
+            f"stay embarrassingly parallel) or an XLA op-name churn"
+        )
     state2, metrics = trainer.update(state)
     assert metrics["loss"].shape == (n_dev,)
     assert np.all(np.isfinite(np.asarray(metrics["loss"])))
