@@ -22,23 +22,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from drone2d_tpu.config import EnvConfig, PPOConfig, TrainConfig
+from drone2d_tpu.config import (
+    PRESETS,
+    EnvConfig,
+    PPOConfig,
+    TrainConfig,
+    apply_preset,
+)
 from drone2d_tpu.learn.ppo import PPOLearner
 from drone2d_tpu.parallel import make_mesh, shard_init, shard_update
 from drone2d_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 from drone2d_tpu.utils.metrics import MetricsWriter
 
 
-def _add_dataclass_args(parser: argparse.ArgumentParser, prefix: str, cls) -> None:
+def _add_dataclass_args(
+    parser: argparse.ArgumentParser, prefix: str, cls, *, suppress: bool = False
+) -> None:
     for f in dataclasses.fields(cls):
         if not isinstance(f.default, (int, float, str, bool)):
             continue
         name = f"--{prefix.replace('_', '-')}{f.name.replace('_', '-')}"
+        default = argparse.SUPPRESS if suppress else f.default
         if isinstance(f.default, bool):
             parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
-                                default=f.default, metavar="BOOL")
+                                default=default, metavar="BOOL")
         else:
-            parser.add_argument(name, type=type(f.default), default=f.default)
+            parser.add_argument(name, type=type(f.default), default=default)
 
 
 def _collect(args, prefix: str, cls):
@@ -50,11 +59,16 @@ def _collect(args, prefix: str, cls):
     return cls(**kw)
 
 
-def build_parser() -> argparse.ArgumentParser:
+def build_parser(*, suppress: bool = False) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    _add_dataclass_args(p, "", TrainConfig)
-    _add_dataclass_args(p, "env_", EnvConfig)
-    _add_dataclass_args(p, "ppo_", PPOConfig)
+    _add_dataclass_args(p, "", TrainConfig, suppress=suppress)
+    _add_dataclass_args(p, "env_", EnvConfig, suppress=suppress)
+    _add_dataclass_args(p, "ppo_", PPOConfig, suppress=suppress)
+    p.add_argument(
+        "--preset", default=None, choices=sorted(PRESETS),
+        help="published training recipe (config.PRESETS) applied over the "
+        "defaults; explicit flags still win — e.g. --preset flagship-scratch",
+    )
     p.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
     p.add_argument("--max-updates", type=int, default=0, help="stop after N updates (0 = by timesteps)")
     p.add_argument(
@@ -212,14 +226,26 @@ def main(argv=None) -> None:
 
     setup_runtime()
     args = build_parser().parse_args(argv)
+    train_cfg = _collect(args, "", TrainConfig)
+    env_cfg = _collect(args, "env_", EnvConfig)
+    ppo_cfg = _collect(args, "ppo_", PPOConfig)
+    if args.preset:
+        # keys the user typed explicitly (suppressed-defaults twin parse)
+        provided = set(
+            vars(build_parser(suppress=True).parse_known_args(argv)[0])
+        )
+        env_cfg, ppo_cfg, train_cfg = apply_preset(
+            args.preset, env_cfg, ppo_cfg, train_cfg, provided
+        )
+        print(f"preset {args.preset!r}: {PRESETS[args.preset]['doc']}")
     if not wait_for_accelerator():
         raise SystemExit(
             "accelerator backend unavailable; aborting instead of hanging"
         )
     train(
-        _collect(args, "", TrainConfig),
-        _collect(args, "env_", EnvConfig),
-        _collect(args, "ppo_", PPOConfig),
+        train_cfg,
+        env_cfg,
+        ppo_cfg,
         resume=args.resume,
         max_updates=args.max_updates,
         init_params=args.init_params,

@@ -21,6 +21,33 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import ast
+from fractions import Fraction
+
+
+def parse_value(v: str):
+    try:
+        return ast.literal_eval(v)
+    except (ValueError, SyntaxError):
+        return float(Fraction(v))  # allows '1/6'
+
+
+def parse_overrides(pairs, defaults):
+    """KEY=VALUE strings -> typed kwargs against a dataclass's defaults.
+    Later occurrences of a key win (presets prepend, explicit flags append)."""
+    out = {}
+    for kv in pairs:
+        k, v = kv.split("=", 1)
+        cur = getattr(defaults, k)
+        if isinstance(cur, str):
+            out[k] = v
+        elif isinstance(cur, tuple):
+            elem = type(cur[0]) if cur else int
+            out[k] = tuple(elem(parse_value(x)) for x in v.split(","))
+        else:
+            out[k] = type(cur)(parse_value(v))
+    return out
+
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
@@ -70,7 +97,45 @@ def main() -> None:
         "device program per S seeds, several-fold faster than sequential "
         "runs). Implies --no-eval; run select_agents.py afterwards.",
     )
+    p.add_argument(
+        "--preset", default=None,
+        help="published training recipe from config.PRESETS (e.g. "
+        "'flagship-scratch'); explicit --env/--ppo/scalar flags still win",
+    )
     args = p.parse_args()
+
+    if args.preset:
+        from drone2d_tpu.config import PRESETS
+
+        preset = PRESETS[args.preset]
+
+        def fmt(v):
+            return ",".join(map(str, v)) if isinstance(v, tuple) else str(v)
+
+        # env/ppo overlays: PREpended so explicit --env/--ppo pairs win
+        # (parse_overrides keeps the last occurrence of a key)
+        args.env = [
+            f"{k}={fmt(v)}" for k, v in preset.get("env", {}).items()
+        ] + args.env
+        _scalar_ppo = ("n_steps", "num_minibatches", "shuffle")
+        args.ppo = [
+            f"{k}={fmt(v)}" for k, v in preset.get("ppo", {}).items()
+            if k not in _scalar_ppo
+        ] + args.ppo
+        # knobs the sweep CLI owns directly: preset fills them unless the
+        # user typed them (suppressed-defaults twin parse)
+        tw = argparse.ArgumentParser(add_help=False)
+        for name in ("--total-timesteps", "--num-envs", "--n-steps",
+                     "--num-minibatches", "--shuffle"):
+            tw.add_argument(name, default=argparse.SUPPRESS)
+        given = set(vars(tw.parse_known_args()[0]))
+        for sec, key in (("train", "total_timesteps"), ("train", "num_envs"),
+                         ("ppo", "n_steps"), ("ppo", "num_minibatches"),
+                         ("ppo", "shuffle")):
+            val = preset.get(sec, {}).get(key)
+            if val is not None and key not in given:
+                setattr(args, key, val)
+        print(f"preset {args.preset!r}: {preset['doc']}")
 
     from drone2d_tpu.utils.runtime import setup_runtime, wait_for_accelerator
 
@@ -82,29 +147,6 @@ def main() -> None:
     from drone2d_tpu.config import ALL_SCENARIOS, EnvConfig, PPOConfig, TrainConfig
     from drone2d_tpu.eval.run import evaluate
     from drone2d_tpu.train import train
-
-    import ast
-    from fractions import Fraction
-
-    def parse_value(v: str):
-        try:
-            return ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            return float(Fraction(v))  # allows '1/6'
-
-    def parse_overrides(pairs, defaults):
-        out = {}
-        for kv in pairs:
-            k, v = kv.split("=", 1)
-            cur = getattr(defaults, k)
-            if isinstance(cur, str):
-                out[k] = v
-            elif isinstance(cur, tuple):
-                elem = type(cur[0]) if cur else int
-                out[k] = tuple(elem(parse_value(x)) for x in v.split(","))
-            else:
-                out[k] = type(cur)(parse_value(v))
-        return out
 
     env_cfg = EnvConfig(**parse_overrides(args.env, EnvConfig()))
     ppo_overrides = parse_overrides(args.ppo, PPOConfig())
