@@ -86,6 +86,50 @@ def test_survivorship_analysis_key_findings():
     assert rep["episodes"] >= 1000
 
 
+def test_pooled_n10000_verdicts():
+    """The 120,000-episode pooled campaign (fresh RNG 574): s8004's mean is
+    pinned at ~0.880 with stage_1 10,000/10,000 (VERDICT r4 #8), and the
+    shipped dual-table flagship seed_22307 holds BOTH published tables at
+    n=10,000 — every SR >= published, every AAPE <= published, stage_1
+    10,000/10,000."""
+    rep = _load("pooled_n10000.json")
+    assert rep["episodes"] >= 10000
+
+    s8004 = rep["agents"]["artifacts/agent_s8004/new_agent.npz"]
+    mean = sum(r["success_rate"] for r in s8004.values()) / 12
+    assert 0.87 <= mean <= 0.89, mean  # the ~0.88 plateau, now +-0.003
+    assert s8004["stage_1"]["successes"] == s8004["stage_1"]["episodes"]
+    for scen, r in s8004.items():
+        assert r["success_rate"] >= PUBLISHED_SR[scen], scen
+
+    dual = rep["agents"][
+        "results/r5_pp10pa10band150/seed_22307/ckpt_9043968.npz"]
+    for scen, r in dual.items():
+        assert r["episodes"] >= 10000, scen
+        assert r["success_rate"] >= PUBLISHED_SR[scen], (scen, r)
+        assert r["avg_ape"] <= PUBLISHED_AAPE[scen], (scen, r)
+    assert dual["stage_1"]["successes"] == dual["stage_1"]["episodes"]
+
+
+def test_shipped_dual_flagship_artifact():
+    """artifacts/agent_s22307 is the packaged dual-table flagship: params
+    load through the public loader at the documented capacity, and its
+    committed both-RNG campaign summaries show 12/12 published-SR coverage."""
+    art = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                       "agent_s22307")
+    if not os.path.isdir(art):
+        pytest.skip("agent_s22307 not packaged")
+    from drone2d_tpu.eval.run import load_params
+
+    params = load_params(os.path.join(art, "new_agent.npz"))
+    assert [l.w.shape[1] for l in params.pi] == [128, 128]
+    for fname in ("summary.json", "campaign_seed777_summary.json"):
+        with open(os.path.join(art, fname)) as f:
+            doc = json.load(f)
+        assert doc["published_coverage"] == 12, fname
+        assert doc["mean_success_rate"] >= 0.80, fname
+
+
 def test_dose_response_selection_tables_committed():
     """Every arm cited in the RESULTS dose-response tables has both-RNG
     selection tables committed."""
