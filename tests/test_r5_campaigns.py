@@ -135,7 +135,8 @@ def test_dose_response_selection_tables_committed():
     selection tables committed."""
     arms = ["pa4", "band150", "pa4band150", "pa75band150", "pp5", "pp35",
             "pa75band150b", "pa10band150", "pp5pa75band150", "pa75gen2",
-            "pa10band150b", "pa10gen2", "pa12band150"]
+            "pa10band150b", "pa10gen2", "pa12band150", "pp10pa10band150",
+            "pp12pa10band150", "pa75gen2lite", "pp10pa10b", "pp10gen2"]
     for arm in arms:
         for f in ("select", "select777"):
             path = os.path.join(_R5, f"r5_{arm}_{f}.json")
