@@ -79,6 +79,32 @@ def test_bench_headline_cites_latest():
             )
 
 
+def test_baseline_tables_match_barplots_constants():
+    """BASELINE.md's published-numbers tables and the code's mirrored
+    constants (eval/barplots.py, the selection/locking single source) must
+    agree row by row — a transcription error in either place would silently
+    shift every coverage claim."""
+    from drone2d_tpu.eval.barplots import SCENARIO_DATA, STAGES_DATA
+
+    text = _read("BASELINE.md")
+    rows = {}
+    for line in text.splitlines():
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        if len(cells) == 9 and all(
+            c.lstrip("-").isdigit() for c in cells[1:]
+        ):
+            rows[cells[0]] = [int(c) for c in cells[1:]]
+    assert len(rows) == 12, sorted(rows)  # 7 scenarios + 5 stages
+    for data, names in (
+        (SCENARIO_DATA, SCENARIO_DATA["scenario"]),
+        (STAGES_DATA, STAGES_DATA["stage"]),
+    ):
+        for i, name in enumerate(names):
+            expect = [data["reactive"][m][i] for m in ("AAPE", "SR", "FR", "CR")]
+            expect += [data["static"][m][i] for m in ("AAPE", "SR", "FR", "CR")]
+            assert rows[name] == expect, (name, rows[name], expect)
+
+
 def test_readme_test_count_matches_collection():
     m = re.search(r"(\d+)\+? tests:", _read("README.md"))
     assert m, "README no longer states a test count ('N tests:')"
