@@ -111,6 +111,21 @@ def test_pooled_n10000_verdicts():
     assert dual["stage_1"]["successes"] == dual["stage_1"]["episodes"]
 
 
+def test_dual_flagship_n10000_replication():
+    """The independent second n=10,000 campaign (RNG 576) reproduces the
+    dual verdict: both tables held, stage_1 10,000/10,000 again (20,000
+    pooled with the first campaign), mean within 0.001 of the first."""
+    rep = _load("s22307_n10000_replicate.json")
+    rows = rep["agents"]["artifacts/agent_s22307/new_agent.npz"]
+    for scen, r in rows.items():
+        assert r["episodes"] >= 10000, scen
+        assert r["success_rate"] >= PUBLISHED_SR[scen], (scen, r)
+        assert r["avg_ape"] <= PUBLISHED_AAPE[scen], (scen, r)
+    assert rows["stage_1"]["successes"] == rows["stage_1"]["episodes"]
+    mean = sum(r["success_rate"] for r in rows.values()) / 12
+    assert abs(mean - 0.8317) < 0.01, mean
+
+
 def test_shipped_dual_flagship_artifact():
     """artifacts/agent_s22307 is the packaged dual-table flagship: params
     load through the public loader at the documented capacity, and its
