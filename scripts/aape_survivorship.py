@@ -87,6 +87,13 @@ def main() -> None:
     paths = [args.focal] + list(args.refs)
     labels = [os.path.splitext(os.path.basename(os.path.dirname(a) if
               os.path.basename(a) == "new_agent.npz" else a))[0] for a in paths]
+    # colliding basenames would silently overwrite each other's report rows
+    # (review r5): disambiguate with the agent index
+    seen = set()
+    for i, lab in enumerate(labels):
+        if lab in seen:
+            labels[i] = f"{lab}#{i}"
+        seen.add(labels[i])
     all_params = [load_params(a) for a in paths]
     # The flagship is 128x128 while the imported reference agents are 64x64,
     # so one stacked pytree is impossible — group agents by param shape and

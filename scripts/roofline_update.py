@@ -44,11 +44,18 @@ def main() -> None:
     from drone2d_tpu.config import EnvConfig, PPOConfig
     from drone2d_tpu.learn.ppo import PPOLearner, compute_gae
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    out = None
-    for a in sys.argv[1:]:
+    argv, args, out = sys.argv[1:], [], None
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--out="):
             out = a.split("=", 1)[1]
+        elif a == "--out":          # both --out PATH and --out=PATH work
+            i += 1
+            out = argv[i] if i < len(argv) else None
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     num_envs = int(args[0]) if len(args) > 0 else 1024
     n_steps = int(args[1]) if len(args) > 1 else 128
     num_mb = int(args[2]) if len(args) > 2 else 64

@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import ast
 from fractions import Fraction
 
+# import-light (dataclasses only — no jax): safe before setup_runtime
+from drone2d_tpu.config import PRESETS
+
 
 def parse_value(v: str):
     try:
@@ -98,15 +101,13 @@ def main() -> None:
         "runs). Implies --no-eval; run select_agents.py afterwards.",
     )
     p.add_argument(
-        "--preset", default=None,
+        "--preset", default=None, choices=sorted(PRESETS),
         help="published training recipe from config.PRESETS (e.g. "
         "'flagship-scratch'); explicit --env/--ppo/scalar flags still win",
     )
     args = p.parse_args()
 
     if args.preset:
-        from drone2d_tpu.config import PRESETS
-
         preset = PRESETS[args.preset]
 
         def fmt(v):
@@ -150,6 +151,13 @@ def main() -> None:
 
     env_cfg = EnvConfig(**parse_overrides(args.env, EnvConfig()))
     ppo_overrides = parse_overrides(args.ppo, PPOConfig())
+    # n_steps/num_minibatches/shuffle are owned by scalar CLI flags; a --ppo
+    # pair for one of them previously crashed with a duplicate-kwarg
+    # TypeError (review r5) — route it onto the scalar flag instead, with
+    # --ppo taking precedence as the help text promises
+    for key in ("n_steps", "num_minibatches", "shuffle"):
+        if key in ppo_overrides:
+            setattr(args, key, ppo_overrides.pop(key))
 
     os.makedirs(args.out, exist_ok=True)
     if args.vmap:
