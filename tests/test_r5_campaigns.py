@@ -145,6 +145,21 @@ def test_shipped_dual_flagship_artifact():
         assert doc["mean_success_rate"] >= 0.80, fname
 
 
+def test_preset_dogfood_finalists_strict():
+    """The README quick-start chain (sweep --preset flagship-scratch on 24
+    fresh seeds -> both-RNG selection -> n=1000 verification at the README's
+    example seed 567) produced finalists that pass strict dominance —
+    the preset reproduces hunt 7 as documented."""
+    rep = _load("preset_dogfood_n1000.json")
+    assert rep["seed"] == 567
+    assert len(rep["agents"]) >= 2
+    for agent, rows in rep["agents"].items():
+        for scen, r in rows.items():
+            assert r["episodes"] >= 1000
+            assert r["success_rate"] >= PUBLISHED_SR[scen], (agent, scen)
+        assert rows["stage_1"]["successes"] == rows["stage_1"]["episodes"]
+
+
 def test_dose_response_selection_tables_committed():
     """Every arm cited in the RESULTS dose-response tables has both-RNG
     selection tables committed."""
